@@ -1,0 +1,399 @@
+"""Shared machinery for the integer/double codec families.
+
+The reference implements RLE / Dict / OneValue / Freq once and reuses them for
+both integer and double types (src/compression/integer/*.rs, reused in
+src/compression/double/{dict,freq,rle,one_value}.rs).  Here the shared logic
+is vectorized numpy, parameterized by an equality policy:
+
+- run/Freq equality follows OrderedFloat semantics for floats
+  (NaN == NaN, -0.0 == 0.0) and plain equality for integers;
+- Dict interning is by raw *bit pattern* (reference ``RawNative::as_bytes``,
+  integer/dict.rs:222-232), so -0.0 and 0.0 are distinct dictionary entries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+from ..constants import SAMPLE_COUNT, SAMPLE_SIZE, Compression, get_bits_needed
+from ..errors import OutOfSpecError
+from ..util import roaring
+
+MIN_DICT_RATIO = 3
+
+
+def values_equal(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """OrderedFloat-style elementwise equality."""
+    if a.dtype.kind == "f":
+        return (a == b) | (np.isnan(a) & np.isnan(b))
+    return a == b
+
+
+def bit_view(values: np.ndarray) -> np.ndarray:
+    """Raw bit-pattern view (uint of same width) for hashing/interning."""
+    if values.dtype.kind == "f":
+        return values.view(f"<u{values.dtype.itemsize}")
+    return values
+
+
+# ---------------------------------------------------------------------------
+# stats
+
+
+@dataclass
+class FamilyStats:
+    """IntegerStats / DoubleStats (reference integer/mod.rs:166-229)."""
+
+    values: np.ndarray
+    validity: Optional[np.ndarray]
+    tuple_count: int
+    total_bytes: int
+    null_count: int
+    average_run_length: float
+    is_sorted: bool
+    min: float
+    max: float
+    unique_values: np.ndarray  # distinct over ALL positions (incl. null slots)
+    unique_counts: np.ndarray
+    unique_count: int
+    set_count: int
+
+
+def gen_stats(values: np.ndarray, validity: Optional[np.ndarray]) -> FamilyStats:
+    n = len(values)
+    null_count = 0 if validity is None else int(n - np.count_nonzero(validity))
+    valid_vals = values if validity is None else values[validity]
+    # run/sortedness over valid values, seeded with T::default() == 0
+    # (reference integer/mod.rs:196-216: last_value starts at default).
+    if len(valid_vals):
+        prev = np.empty_like(valid_vals)
+        prev[0] = 0
+        prev[1:] = valid_vals[:-1]
+        neq = ~values_equal(valid_vals, prev)
+        run_count = int(np.count_nonzero(neq))
+        is_sorted = bool(np.all(valid_vals >= prev))
+    else:
+        run_count = 0
+        is_sorted = True
+    uniq, counts = np.unique(values, return_counts=True)
+    vmin = values.min() if n else 0
+    vmax = values.max() if n else 0
+    return FamilyStats(
+        values=values,
+        validity=validity,
+        tuple_count=n,
+        total_bytes=n * values.dtype.itemsize,
+        null_count=null_count,
+        average_run_length=(n / run_count) if run_count else float("inf"),
+        is_sorted=is_sorted,
+        min=vmin,
+        max=vmax,
+        unique_values=uniq,
+        unique_counts=counts,
+        unique_count=len(uniq),
+        set_count=n - null_count,
+    )
+
+
+# ---------------------------------------------------------------------------
+# RLE (reference integer/rle.rs:64-134)
+
+
+def rle_encode(values: np.ndarray, validity: Optional[np.ndarray]) -> bytes:
+    n = len(values)
+    if n == 0:
+        return b""
+    dtype = values.dtype
+    if validity is None or bool(validity.all()):
+        valid_idx = np.arange(n)
+        valid_vals = values
+    else:
+        valid_idx = np.flatnonzero(validity)
+        valid_vals = values[valid_idx]
+    if len(valid_vals) == 0:
+        # fully-null page: one run of default value
+        return np.uint32(n).tobytes() + np.zeros(1, dtype=dtype).tobytes()
+    neq = np.empty(len(valid_vals), dtype=bool)
+    neq[0] = True
+    neq[1:] = ~values_equal(valid_vals[1:], valid_vals[:-1])
+    run_starts_v = np.flatnonzero(neq)  # indices into valid_vals
+    run_values = valid_vals[run_starts_v]
+    # run k spans full positions [start_k, start_{k+1}) where start_0 = 0
+    # (leading nulls fold into the first run; trailing nulls into the last).
+    starts_full = valid_idx[run_starts_v]
+    starts_full[0] = 0
+    ends_full = np.empty_like(starts_full)
+    ends_full[:-1] = starts_full[1:]
+    ends_full[-1] = n
+    counts = (ends_full - starts_full).astype(np.uint32)
+    itemsize = dtype.itemsize
+    rec = np.zeros((len(counts), 4 + itemsize), dtype=np.uint8)
+    rec[:, :4] = counts.astype("<u4").view(np.uint8).reshape(-1, 4)
+    rec[:, 4:] = (
+        run_values.astype(dtype.newbyteorder("<"))
+        .view(np.uint8)
+        .reshape(-1, itemsize)
+    )
+    return rec.tobytes()
+
+
+def rle_decode(
+    buf, pos: int, length: int, dtype: np.dtype
+) -> Tuple[np.ndarray, int]:
+    itemsize = dtype.itemsize
+    rec_size = 4 + itemsize
+    avail = (len(buf) - pos) // rec_size
+    rec_dt = np.dtype(
+        {
+            "names": ["len", "val"],
+            "formats": ["<u4", dtype.newbyteorder("<")],
+            "offsets": [0, 4],
+            "itemsize": rec_size,
+        }
+    )
+    if length == 0:
+        return np.empty(0, dtype=dtype), pos
+    recs = np.frombuffer(buf, dtype=rec_dt, count=avail, offset=pos)
+    cum = np.cumsum(recs["len"].astype(np.int64))
+    k = int(np.searchsorted(cum, length, side="left")) + 1
+    if k > avail or (k > 0 and cum[k - 1] < length):
+        raise OutOfSpecError("RLE page truncated")
+    out = np.repeat(recs["val"][:k], recs["len"][:k].astype(np.int64))[:length]
+    return out.astype(dtype, copy=False), pos + k * rec_size
+
+
+# ---------------------------------------------------------------------------
+# OneValue (reference integer/one_value.rs:62-94)
+
+
+def one_value_encode(values: np.ndarray, validity: Optional[np.ndarray]) -> bytes:
+    dtype = values.dtype
+    if validity is None:
+        val = values[0] if len(values) else np.zeros(1, dtype=dtype)[0]
+    else:
+        idx = np.flatnonzero(validity)
+        val = values[idx[0]] if len(idx) else np.zeros(1, dtype=dtype)[0]
+    return np.asarray([val], dtype=dtype.newbyteorder("<")).tobytes()
+
+
+def one_value_decode(buf, pos: int, length: int, dtype: np.dtype) -> Tuple[np.ndarray, int]:
+    itemsize = dtype.itemsize
+    if pos + itemsize > len(buf):
+        raise OutOfSpecError("OneValue page truncated")
+    val = np.frombuffer(buf, dtype=dtype.newbyteorder("<"), count=1, offset=pos)[0]
+    return np.full(length, val, dtype=dtype), pos + itemsize
+
+
+# ---------------------------------------------------------------------------
+# Dict (reference integer/dict.rs:33-120)
+
+
+def factorize_first_occurrence(values: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """codes + uniques in first-occurrence order (DictEncoder interning)."""
+    keys = bit_view(values)
+    uniq, first_idx, inv = np.unique(keys, return_index=True, return_inverse=True)
+    order = np.argsort(first_idx, kind="stable")
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[order] = np.arange(len(uniq))
+    codes = rank[inv]
+    sets = values[first_idx[order]]
+    return codes, sets
+
+
+def dict_indices(values: np.ndarray, validity: Optional[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+    """Replicate DictEncoder push/push_last_index null handling."""
+    n = len(values)
+    if n == 0:
+        return np.empty(0, dtype=np.uint32), values[:0]
+    if validity is None:
+        codes, sets = factorize_first_occurrence(values)
+        return codes.astype(np.uint32), sets
+    pushed = validity.copy()
+    eff = values
+    if not pushed[0]:
+        # a leading null pushes T::default() (reference dict.rs:44-49)
+        eff = values.copy()
+        eff[0] = 0
+        pushed[0] = True
+    codes_pushed, sets = factorize_first_occurrence(eff[pushed])
+    codes = np.full(n, -1, dtype=np.int64)
+    codes[pushed] = codes_pushed
+    # nulls repeat the last index (push_last_index)
+    idx = np.where(codes >= 0, np.arange(n), -1)
+    np.maximum.accumulate(idx, out=idx)
+    codes = codes[idx]
+    return codes.astype(np.uint32), sets
+
+
+def dict_encode(
+    values: np.ndarray,
+    validity: Optional[np.ndarray],
+    options,
+    compress_indices: Callable,
+) -> bytes:
+    indices, sets = dict_indices(values, validity)
+    out = bytearray()
+    out += compress_indices(indices, None, options.forbid(Compression.DICT))
+    out += np.uint32(len(sets)).tobytes()
+    out += sets.astype(sets.dtype.newbyteorder("<")).tobytes()
+    return bytes(out)
+
+
+def dict_decode(
+    buf,
+    pos: int,
+    length: int,
+    dtype: np.dtype,
+    decompress_indices: Callable,
+) -> Tuple[np.ndarray, int]:
+    indices, pos = decompress_indices(buf, pos, length, np.dtype(np.uint32))
+    if pos + 4 > len(buf):
+        raise OutOfSpecError("dict page truncated")
+    count = int(np.frombuffer(buf, dtype="<u4", count=1, offset=pos)[0])
+    pos += 4
+    nbytes = count * dtype.itemsize
+    if pos + nbytes > len(buf):
+        raise OutOfSpecError(
+            f"Invalid data size: {len(buf) - pos} less than {nbytes}"
+        )
+    data = np.frombuffer(buf, dtype=dtype.newbyteorder("<"), count=count, offset=pos)
+    pos += nbytes
+    if len(indices) and count == 0:
+        raise OutOfSpecError("dict page has indices but no values")
+    out = data[indices] if count else np.empty(0, dtype=dtype)
+    return out.astype(dtype, copy=False), pos
+
+
+def dict_ratio(stats: FamilyStats) -> float:
+    """Analytic dict size model (reference integer/dict.rs:109-120)."""
+    if stats.unique_count * MIN_DICT_RATIO >= stats.tuple_count:
+        return 0.0
+    itemsize = stats.values.dtype.itemsize
+    after = stats.unique_count * itemsize + stats.tuple_count * (
+        get_bits_needed(stats.unique_count) // 8
+    )
+    after += stats.tuple_count * 2 // 128
+    return stats.total_bytes / after if after else 0.0
+
+
+# ---------------------------------------------------------------------------
+# Freq (reference integer/freq.rs:33-152)
+
+
+def freq_top_value(stats: FamilyStats) -> Tuple[bool, np.generic, int]:
+    """(top_is_null, top_value, max_count)."""
+    if stats.tuple_count and stats.null_count / stats.tuple_count >= 0.9:
+        return True, np.zeros(1, dtype=stats.values.dtype)[0], 0
+    i = int(np.argmax(stats.unique_counts))
+    return False, stats.unique_values[i], int(stats.unique_counts[i])
+
+
+def freq_encode(
+    values: np.ndarray,
+    validity: Optional[np.ndarray],
+    stats: FamilyStats,
+    options,
+    compress_exceptions: Callable,
+) -> bytes:
+    dtype = values.dtype
+    top_is_null, top, _ = freq_top_value(stats)
+    if top_is_null:
+        mask = np.ones(len(values), dtype=bool)
+    else:
+        mask = ~values_equal(values, np.full_like(values, top))
+    if validity is not None:
+        mask &= validity
+    positions = np.flatnonzero(mask).astype(np.uint32)
+    exceptions = values[mask]
+    bitmap = roaring.serialize(positions)
+    out = bytearray()
+    out += np.asarray([top], dtype=dtype.newbyteorder("<")).tobytes()
+    out += np.uint32(len(bitmap)).tobytes()
+    out += bitmap
+    out += compress_exceptions(exceptions, None, options.forbid(Compression.FREQ))
+    return bytes(out)
+
+
+def freq_decode(
+    buf,
+    pos: int,
+    length: int,
+    dtype: np.dtype,
+    decompress_exceptions: Callable,
+) -> Tuple[np.ndarray, int]:
+    itemsize = dtype.itemsize
+    top = np.frombuffer(buf, dtype=dtype.newbyteorder("<"), count=1, offset=pos)[0]
+    pos += itemsize
+    bitmap_size = int(np.frombuffer(buf, dtype="<u4", count=1, offset=pos)[0])
+    pos += 4
+    positions = roaring.deserialize(bytes(buf[pos : pos + bitmap_size]))
+    pos += bitmap_size
+    out = np.full(length, top, dtype=dtype)
+    exceptions, pos = decompress_exceptions(buf, pos, len(positions), dtype)
+    if len(exceptions) != len(positions):
+        raise OutOfSpecError("freq exceptions length mismatch")
+    out[positions] = exceptions
+    return out, pos
+
+
+def freq_ratio(stats: FamilyStats, require_big_max: bool) -> float:
+    """reference integer/freq.rs:129-151 (integer adds max >= 1<<8 gate)."""
+    if stats.unique_count <= 1:
+        return 0.0
+    if stats.tuple_count and stats.null_count / stats.tuple_count >= 0.9:
+        return float(stats.tuple_count - 1)
+    max_count = int(stats.unique_counts.max()) if len(stats.unique_counts) else 0
+    if stats.tuple_count and max_count / stats.tuple_count >= 0.9:
+        if not require_big_max:
+            return float(stats.tuple_count - 1)
+        # integers gate on max.as_i64() >= 1<<8, with Rust `as i64` wrap
+        max_i64 = ((int(stats.max) + (1 << 63)) % (1 << 64)) - (1 << 63)
+        if max_i64 >= (1 << 8):
+            return float(stats.tuple_count - 1)
+    return 0.0
+
+
+# ---------------------------------------------------------------------------
+# sampling (reference integer/mod.rs:310-347)
+
+
+def sample_stats(stats: FamilyStats, rng: np.random.Generator) -> FamilyStats:
+    n = stats.tuple_count
+    if n // SAMPLE_COUNT <= SAMPLE_SIZE:
+        return stats
+    separator = n // SAMPLE_COUNT
+    remainder = n % SAMPLE_COUNT
+    val_parts = []
+    mask_parts = []
+    validity = stats.validity
+    for i in range(SAMPLE_COUNT):
+        range_end = (
+            separator + remainder if i == SAMPLE_COUNT - 1 else separator
+        ) - SAMPLE_SIZE
+        begin = i * separator + int(rng.integers(0, range_end))
+        val_parts.append(stats.values[begin : begin + SAMPLE_SIZE])
+        if validity is not None:
+            mask_parts.append(validity[begin : begin + SAMPLE_SIZE])
+    values = np.concatenate(val_parts)
+    mask = np.concatenate(mask_parts) if validity is not None else None
+    return gen_stats(values, mask)
+
+
+def compress_sample_ratio(
+    codec_compress: Callable,
+    stats: FamilyStats,
+    rng: np.random.Generator,
+    default_options_factory: Callable,
+) -> float:
+    s = sample_stats(stats, rng)
+    try:
+        body = codec_compress(s.values, s.validity, s, default_options_factory())
+        size = len(body)
+    except Exception:
+        size = s.total_bytes
+    if size == 0:
+        return float(s.total_bytes)
+    return s.total_bytes / size
