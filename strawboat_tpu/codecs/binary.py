@@ -147,16 +147,14 @@ def dict_encode(
         codes.astype(np.uint32), None, options.forbid(Compression.DICT)
     )
     out += np.uint32(len(sets)).tobytes()
-    set_offs = np.frombuffer(sets.buffers()[1], dtype=np.int32, count=len(sets) + 1)
-    set_vals = (
-        np.frombuffer(sets.buffers()[2], dtype=np.uint8)
-        if sets.buffers()[2] is not None
-        else np.empty(0, dtype=np.uint8)
-    )
+    from ..columns import from_arrow as _from_arrow
+
+    set_col = _from_arrow(sets.cast(pa.large_binary()))
+    so, sv = set_col.offsets, set_col.values
     for i in range(len(sets)):
-        s, e = int(set_offs[i]), int(set_offs[i + 1])
+        s, e = int(so[i]), int(so[i + 1])
         out += np.uint64(e - s).tobytes()
-        out += set_vals[s:e].tobytes()
+        out += sv[s:e].tobytes()
     return bytes(out)
 
 

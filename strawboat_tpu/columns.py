@@ -391,14 +391,28 @@ def from_arrow(arr: pa.Array) -> Column:
         keys = from_arrow(arr.keys)
         items = from_arrow(arr.items)
         return MapColumn(dtype, _arrow_validity(arr), off.copy(), keys, items)
-    # primitive numeric / temporal / decimal
-    np_dtype = dtype.to_pandas_dtype() if not pa.types.is_decimal(dtype) else None
-    if np_dtype is None:
-        raise NotImplementedError(f"unsupported type {dtype}")
+    # primitive numeric / temporal: store as the raw storage integer/float
+    np_dtype = _np_storage_dtype(dtype)
     width = dtype.bit_width // 8
     raw = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
     vals = raw[(arr.offset) * width : (arr.offset + len(arr)) * width].view(np_dtype)
     return PrimitiveColumn(dtype, _arrow_validity(arr), vals.copy())
+
+
+def _np_storage_dtype(dtype: pa.DataType) -> np.dtype:
+    """numpy storage dtype for an arrow primitive type (temporal → int)."""
+    if (
+        pa.types.is_integer(dtype)
+        or pa.types.is_floating(dtype)
+        or pa.types.is_float16(dtype)
+    ):
+        return np.dtype(dtype.to_pandas_dtype())
+    width = dtype.bit_width
+    if pa.types.is_decimal(dtype):
+        raise NotImplementedError(f"decimal type {dtype} not supported yet")
+    if width in (8, 16, 32, 64):
+        return np.dtype(f"<i{width // 8}")
+    raise NotImplementedError(f"unsupported type {dtype}")
 
 
 def column_equal(a: Column, b: Column) -> bool:

@@ -79,35 +79,47 @@ def encode_rle_run(value: int, count: int, bit_width: int) -> bytes:
 def encode_levels(values: np.ndarray, bit_width: int) -> bytes:
     """Encode a level sequence, choosing RLE for long constant runs.
 
-    Any mix of valid runs decodes identically (the reference's nested reader
-    uses the general ``HybridRleDecoder``); single-value sequences use RLE,
-    otherwise a run-length scan picks RLE runs >= 8, bit-packing the gaps.
+    Interior bit-packed runs must cover a multiple of 8 values (the decoder
+    consumes whole 8-value groups), so run selection works on 8-value groups:
+    consecutive all-constant groups of one value become an RLE run, everything
+    else is bit-packed; only the final (tail) run may be padded.
     """
     values = np.asarray(values, dtype=np.uint32)
     n = len(values)
     if n == 0 or bit_width == 0:
         return b""
-    # run-length encode
-    change = np.flatnonzero(np.diff(values)) + 1
-    starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [n]))
+    n_groups = n // 8
     out = bytearray()
+    if n_groups == 0:
+        return bytes(encode_bitpacked(values, bit_width))
+    g = values[: n_groups * 8].reshape(n_groups, 8)
+    const = (g == g[:, :1]).all(axis=1)
+    gval = g[:, 0]
+    # merge consecutive constant groups with equal value into RLE runs
     i = 0
-    pending_start = None
-    n_runs = len(starts)
-    while i < n_runs:
-        s, e = int(starts[i]), int(ends[i])
-        if e - s >= 8:
-            if pending_start is not None:
-                out += encode_bitpacked(values[pending_start:s], bit_width)
-                pending_start = None
-            out += encode_rle_run(int(values[s]), e - s, bit_width)
-        else:
-            if pending_start is None:
-                pending_start = s
+    bp_start = None  # first group of a pending bitpacked stretch
+    while i < n_groups:
+        if const[i]:
+            j = i + 1
+            while j < n_groups and const[j] and gval[j] == gval[i]:
+                j += 1
+            if j - i >= 2:  # >= 16 values: RLE pays off
+                if bp_start is not None:
+                    out += encode_bitpacked(
+                        values[bp_start * 8 : i * 8], bit_width
+                    )
+                    bp_start = None
+                out += encode_rle_run(int(gval[i]), (j - i) * 8, bit_width)
+                i = j
+                continue
+        if bp_start is None:
+            bp_start = i
         i += 1
-    if pending_start is not None:
-        out += encode_bitpacked(values[pending_start:n], bit_width)
+    tail = n - n_groups * 8
+    if bp_start is not None:
+        out += encode_bitpacked(values[bp_start * 8 :], bit_width)
+    elif tail:
+        out += encode_bitpacked(values[n_groups * 8 :], bit_width)
     return bytes(out)
 
 

@@ -1,0 +1,142 @@
+"""NativeWriter: the file writer state machine.
+
+Mirrors reference src/write/writer.rs:33-200 + common.rs:49-117:
+  start()  → "ARROW2" magic + 2 pad bytes
+  write()  → one chunk (single implicit row group); per leaf column, pages of
+             ``max_page_size`` rows each, adaptively compressed
+  finish() → schema bytes, meta block, [u32 schema_size][u32 meta_size], EOS
+"""
+
+from __future__ import annotations
+
+from typing import BinaryIO, List, Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs import WriteOptions
+from ..columns import Chunk, Column, from_arrow
+from ..constants import ARROW_MAGIC, CONTINUATION_MARKER
+from ..errors import OutOfSpecError
+from ..meta import ColumnMeta, PageMeta, serialize_metas
+from ..schema import schema_to_bytes
+from .nested import slice_nested, to_nested
+from .serialize import write_page
+
+_STATE_NONE, _STATE_STARTED, _STATE_WRITTEN, _STATE_FINISHED = range(4)
+
+
+class NativeWriter:
+    def __init__(self, writer: BinaryIO, schema: pa.Schema, options: WriteOptions = None):
+        self.writer = writer
+        self.schema = schema
+        self.options = options or WriteOptions()
+        self.metas: List[ColumnMeta] = []
+        self._offset = 0
+        self._state = _STATE_NONE
+
+    # -- io helpers -----------------------------------------------------
+    def _write(self, data: bytes) -> None:
+        self.writer.write(data)
+        self._offset += len(data)
+
+    @property
+    def offset(self) -> int:
+        return self._offset
+
+    def total_size(self) -> int:
+        return self._offset
+
+    # -- lifecycle ------------------------------------------------------
+    def start(self) -> None:
+        if self._state != _STATE_NONE:
+            raise OutOfSpecError("The strawboat file can only be started once")
+        self._write(ARROW_MAGIC)
+        self._write(b"\x00\x00")
+        self._state = _STATE_STARTED
+
+    def write(self, chunk: Union[Chunk, pa.RecordBatch, pa.Table]) -> None:
+        if self._state == _STATE_WRITTEN:
+            raise OutOfSpecError(
+                "The strawboat file can only accept one RowGroup in a single file"
+            )
+        if self._state != _STATE_STARTED:
+            raise OutOfSpecError(
+                "The strawboat file must be started before it can be written to"
+            )
+        columns = _as_columns(chunk, self.schema)
+        if len(columns) != len(self.schema):
+            raise OutOfSpecError("chunk arity does not match schema")
+        self._encode_chunk(columns)
+        self._state = _STATE_WRITTEN
+
+    def _encode_chunk(self, columns: Sequence[Column]) -> None:
+        n_rows = len(columns[0]) if columns else 0
+        page_size = min(self.options.max_page_size or n_rows, n_rows)
+        for col, field in zip(columns, self.schema):
+            for nests, leaf in to_nested(col, field):
+                start = self._offset
+                pages: List[PageMeta] = []
+                length = len(col)
+                step = max(page_size, 1)
+                for off in range(0, length, step):
+                    ln = min(step, length - off)
+                    s_nests, s_leaf = slice_nested(nests, leaf, off, ln)
+                    page_start = self._offset
+                    body, num_values = write_page(s_nests, s_leaf, self.options)
+                    self._write(body)
+                    pages.append(PageMeta(self._offset - page_start, num_values))
+                self.metas.append(ColumnMeta(start, pages))
+
+    def finish(self) -> None:
+        if self._state != _STATE_WRITTEN:
+            raise OutOfSpecError(
+                "The strawboat file must be written before it can be finished"
+            )
+        schema_bytes = schema_to_bytes(self.schema)
+        self._write(schema_bytes)
+        meta_start = self._offset
+        self._write(serialize_metas(self.metas))
+        meta_end = self._offset
+        self._write(np.uint32(len(schema_bytes)).tobytes())
+        self._write(np.uint32(meta_end - meta_start).tobytes())
+        # EOS continuation (write_continuation(0), common.rs:121-128)
+        self._write(CONTINUATION_MARKER)
+        self._write((0).to_bytes(4, "little"))
+        self.writer.flush()
+        self._state = _STATE_FINISHED
+
+
+def _as_columns(chunk, schema: pa.Schema) -> List[Column]:
+    if isinstance(chunk, Chunk):
+        return chunk.columns
+    if isinstance(chunk, pa.Table):
+        chunk = chunk.combine_chunks()
+        return [from_arrow(chunk.column(i).chunk(0)) for i in range(chunk.num_columns)]
+    if isinstance(chunk, pa.RecordBatch):
+        return [from_arrow(chunk.column(i)) for i in range(chunk.num_columns)]
+    if isinstance(chunk, (list, tuple)):
+        return [c if isinstance(c, Column) else from_arrow(c) for c in chunk]
+    raise OutOfSpecError(f"unsupported chunk type {type(chunk)}")
+
+
+def write_file(
+    path_or_file,
+    data: Union[pa.RecordBatch, pa.Table, Chunk],
+    schema: pa.Schema = None,
+    options: WriteOptions = None,
+) -> List[ColumnMeta]:
+    """Convenience one-shot writer (examples/strawboat_write.rs equivalent)."""
+    if schema is None:
+        schema = data.schema
+    own = isinstance(path_or_file, str)
+    f = open(path_or_file, "wb") if own else path_or_file
+    try:
+        w = NativeWriter(f, schema, options)
+        w.start()
+        w.write(data)
+        w.finish()
+        return w.metas
+    finally:
+        if own:
+            f.close()
