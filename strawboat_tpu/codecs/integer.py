@@ -193,7 +193,14 @@ def choose_compressor(
         return Compression.DICT
     if env.check_rle_env() and Compression.RLE not in forbidden:
         return Compression.RLE
-    if env.check_bitpack_env() and Compression.BITPACKING not in forbidden:
+    if (
+        env.check_bitpack_env()
+        and Compression.BITPACKING not in forbidden
+        and stats.values.dtype.itemsize == 4
+        and stats.tuple_count % 128 == 0
+    ):
+        # unlike the reference we keep the shape gate under forcing — the
+        # BitPacker4x layout only exists for full 128-value u32 blocks
         return Compression.BITPACKING
     result = options.default_compression
     if options.default_compress_ratio is None:
