@@ -66,9 +66,10 @@ def stat_simple(reader: NativeReader, field: pa.Field) -> ColumnInfo:
         pos = 0
         validity_size = None
         if field.nullable:
-            vsize = _u32(buf, pos)
-            pos += 4 + vsize
+            # (the reference re-reads the next u32 after skipping the
+            # validity block, stat.rs:72-77 — we report the actual size)
             validity_size = _u32(buf, pos)
+            pos += 4 + validity_size
         page, _ = stat_body(buf, pos, validity_size, field.type)
         pages.append(page)
     return ColumnInfo(field, pages)

@@ -30,7 +30,8 @@ def _stat_for(tmp, table, opts):
 
 
 def test_stat_common(tmp_strawboat):
-    table = pa.table({"a": pa.array(np.arange(5000, dtype=np.int64))})
+    schema = pa.schema([pa.field("a", pa.int64(), nullable=False)])
+    table = pa.table({"a": pa.array(np.arange(5000, dtype=np.int64))}, schema=schema)
     info = _stat_for(
         tmp_strawboat,
         table,
