@@ -1,0 +1,145 @@
+"""Hash/group aggregation — TPU-shaped (sort + segment reduce).
+
+A hashmap is a poor fit for the MXU/VPU; the TPU-native grouping idiom is:
+hash keys → sort by hash → segment boundaries via neighbor-compare →
+``jax.ops.segment_*`` with a static group capacity.  All stages are jnp, so
+they fuse under an outer jit with the scan/filter stages.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_AGG_FNS = {
+    "sum": jax.ops.segment_sum,
+    "min": jax.ops.segment_min,
+    "max": jax.ops.segment_max,
+}
+
+
+def _key_u64(cols: Sequence[jax.Array]) -> jax.Array:
+    """Combine key columns into one 64-bit mixing key (order-preserving for
+    a single int key; hashed combination otherwise)."""
+    k = cols[0].astype(jnp.uint64)
+    if len(cols) == 1:
+        return k
+    acc = k
+    for c in cols[1:]:
+        c = c.astype(jnp.uint64)
+        acc = acc * jnp.uint64(0x9E3779B97F4A7C15) + c + jnp.uint64(0x85EBCA6B)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("num_groups", "agg_specs"))
+def grouped_aggregate(
+    key_cols: Tuple[jax.Array, ...],
+    value_cols: Tuple[jax.Array, ...],
+    mask: Optional[jax.Array],
+    num_groups: int,
+    agg_specs: Tuple[Tuple[str, int], ...],  # (fn_name, value_col_index)
+):
+    """Group rows by composite key; returns (unique_keys, n_groups, aggs...).
+
+    Capacity ``num_groups`` is static; overflow groups collapse into the last
+    slot (caller sizes capacity from planning stats / zone maps).
+    """
+    key = _key_u64(key_cols)
+    n = key.shape[0]
+    if mask is not None:
+        # masked-out rows get the max key → sorted to the end
+        key = jnp.where(mask, key, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    order = jnp.argsort(key)
+    skey = key[order]
+    new_seg = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (skey[1:] != skey[:-1]).astype(jnp.int32)]
+    )
+    if mask is not None:
+        valid_sorted = mask[order]
+        new_seg = jnp.where(valid_sorted, new_seg, 0)
+    seg_ids = jnp.cumsum(new_seg) - 1
+    seg_ids = jnp.clip(seg_ids, 0, num_groups - 1)
+    if mask is not None:
+        seg_ids = jnp.where(mask[order], seg_ids, num_groups - 1)
+    outs = []
+    for fn_name, vi in agg_specs:
+        v = value_cols[vi][order]
+        if fn_name == "count":
+            ones = jnp.ones_like(v, dtype=jnp.int64)
+            if mask is not None:
+                ones = jnp.where(mask[order], ones, 0)
+            outs.append(jax.ops.segment_sum(ones, seg_ids, num_segments=num_groups))
+            continue
+        if mask is not None and fn_name == "sum":
+            v = jnp.where(mask[order], v, 0)
+        outs.append(_AGG_FNS[fn_name](v, seg_ids, num_segments=num_groups))
+    first_idx = jnp.cumsum(new_seg) - 1
+    uniq_keys = jnp.zeros((num_groups,), jnp.uint64).at[
+        jnp.clip(first_idx, 0, num_groups - 1)
+    ].max(skey)
+    n_groups = jnp.sum(new_seg)
+    # per-group representative row (for key column reconstruction)
+    rep_rows = jnp.zeros((num_groups,), jnp.int32).at[
+        jnp.clip(seg_ids, 0, num_groups - 1)
+    ].max(order.astype(jnp.int32))
+    return uniq_keys, n_groups, rep_rows, tuple(outs)
+
+
+def hash_aggregate(
+    table,
+    keys: Sequence[str],
+    aggs: Dict[str, Tuple[str, str]],
+    num_groups: int = 65536,
+    mask: Optional[jax.Array] = None,
+):
+    """Group-by aggregate over a DeviceTable.
+
+    aggs: out_name -> (fn, column);  fn in {sum, min, max, count}.
+    Returns dict with 'keys' (u64 composite), 'n_groups', per-agg arrays, and
+    'rep_rows' (a representative source row per group, for key readback).
+    """
+    key_cols = tuple(table[k].values for k in keys)
+    value_names = [c for (_, c) in aggs.values()]
+    value_cols = tuple(table[c].values for c in value_names)
+    agg_specs = tuple(
+        (fn, value_names.index(c)) for (fn, c) in aggs.values()
+    )
+    uniq, n_groups, rep_rows, outs = grouped_aggregate(
+        key_cols, value_cols, mask, num_groups, agg_specs
+    )
+    result = {"keys": uniq, "n_groups": n_groups, "rep_rows": rep_rows}
+    for name, o in zip(aggs.keys(), outs):
+        result[name] = o
+    return result
+
+
+@functools.partial(jax.jit, static_argnames=("fn",))
+def scalar_aggregate(values: jax.Array, mask: Optional[jax.Array], fn: str):
+    """Ungrouped aggregate with validity/selection mask."""
+    if fn == "count":
+        if mask is None:
+            return jnp.asarray(values.shape[0], jnp.int64)
+        return jnp.sum(mask.astype(jnp.int64))
+    if mask is not None:
+        if fn == "sum":
+            values = jnp.where(mask, values, 0)
+        elif fn == "min":
+            values = jnp.where(mask, values, jnp.iinfo(values.dtype).max if values.dtype.kind == "i" else jnp.inf)
+        elif fn == "max":
+            values = jnp.where(mask, values, jnp.iinfo(values.dtype).min if values.dtype.kind == "i" else -jnp.inf)
+    if fn == "sum":
+        return jnp.sum(values)
+    if fn == "min":
+        return jnp.min(values)
+    if fn == "max":
+        return jnp.max(values)
+    if fn == "mean":
+        if mask is None:
+            return jnp.mean(values)
+        s = jnp.sum(jnp.where(mask, values, 0))
+        c = jnp.sum(mask.astype(values.dtype))
+        return s / c
+    raise ValueError(f"unknown aggregate {fn}")

@@ -1,0 +1,123 @@
+"""Tiny expression DSL for predicates/projections over DeviceTable.
+
+Builds jnp computations (validity-aware three-valued logic collapsed to
+"null = filtered out"), so whole predicates fuse under one jit with the
+decode + aggregate stages.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class Expr:
+    # evaluate → (values, validity|None)
+    fn: Callable[[Any], Tuple[jax.Array, Optional[jax.Array]]]
+
+    def _bin(self, other: "Expr", op) -> "Expr":
+        other = _as_expr(other)
+
+        def f(t):
+            va, ma = self.fn(t)
+            vb, mb = other.fn(t)
+            m = _and_mask(ma, mb)
+            return op(va, vb), m
+
+        return Expr(f)
+
+    def __gt__(self, o):
+        return self._bin(o, jnp.greater)
+
+    def __ge__(self, o):
+        return self._bin(o, jnp.greater_equal)
+
+    def __lt__(self, o):
+        return self._bin(o, jnp.less)
+
+    def __le__(self, o):
+        return self._bin(o, jnp.less_equal)
+
+    def __eq__(self, o):  # type: ignore[override]
+        return self._bin(o, jnp.equal)
+
+    def __ne__(self, o):  # type: ignore[override]
+        return self._bin(o, jnp.not_equal)
+
+    def __add__(self, o):
+        return self._bin(o, jnp.add)
+
+    def __sub__(self, o):
+        return self._bin(o, jnp.subtract)
+
+    def __mul__(self, o):
+        return self._bin(o, jnp.multiply)
+
+    def __truediv__(self, o):
+        return self._bin(o, jnp.divide)
+
+    def __and__(self, o):
+        return self._bin(o, jnp.logical_and)
+
+    def __or__(self, o):
+        return self._bin(o, jnp.logical_or)
+
+    def __invert__(self):
+        def f(t):
+            v, m = self.fn(t)
+            return jnp.logical_not(v), m
+
+        return Expr(f)
+
+    def is_null(self) -> "Expr":
+        def f(t):
+            _, m = self.fn(t)
+            if m is None:
+                v, _ = self.fn(t)
+                return jnp.zeros(v.shape, dtype=jnp.bool_), None
+            return jnp.logical_not(m), None
+
+        return Expr(f)
+
+    def evaluate(self, table) -> jax.Array:
+        v, _ = self.fn(table)
+        return v
+
+    def mask(self, table) -> jax.Array:
+        """Predicate → boolean selection mask (nulls excluded)."""
+        v, m = self.fn(table)
+        v = v.astype(jnp.bool_)
+        return v if m is None else jnp.logical_and(v, m)
+
+
+def _and_mask(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return jnp.logical_and(a, b)
+
+
+def _as_expr(x) -> Expr:
+    if isinstance(x, Expr):
+        return x
+    return lit(x)
+
+
+def col(name: str) -> Expr:
+    def f(t):
+        c = t[name]
+        return c.values, c.validity
+
+    return Expr(f)
+
+
+def lit(value) -> Expr:
+    def f(t):
+        return jnp.asarray(value), None
+
+    return Expr(f)

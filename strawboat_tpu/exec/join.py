@@ -1,0 +1,78 @@
+"""Equi-join — TPU-shaped (sort build side + binary-search probe).
+
+The radix-partitioned hash join of classic engines maps to TPU as:
+sort the build side by key (one-time), then probe with vectorized
+``searchsorted`` (log-time gather chains are fine on the VPU; no pointer
+chasing).  Duplicate build keys are handled by expanding match runs up to a
+static ``max_matches_per_key`` fan-out.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("max_fanout",))
+def _join_indices(
+    build_keys: jax.Array,
+    probe_keys: jax.Array,
+    max_fanout: int,
+):
+    """Inner-join row indices.
+
+    Returns (probe_idx, build_idx, valid) each of shape
+    (n_probe * max_fanout,): for every probe row, up to ``max_fanout``
+    matching build rows (beyond that are dropped — size via planning stats).
+    """
+    order = jnp.argsort(build_keys)
+    sk = build_keys[order]
+    lo = jnp.searchsorted(sk, probe_keys, side="left")
+    hi = jnp.searchsorted(sk, probe_keys, side="right")
+    n_probe = probe_keys.shape[0]
+    k = jnp.arange(max_fanout, dtype=lo.dtype)
+    idx = lo[:, None] + k[None, :]  # (n_probe, max_fanout)
+    valid = idx < hi[:, None]
+    idx = jnp.clip(idx, 0, sk.shape[0] - 1)
+    build_idx = order[idx]
+    probe_idx = jnp.broadcast_to(
+        jnp.arange(n_probe, dtype=lo.dtype)[:, None], idx.shape
+    )
+    return (
+        probe_idx.reshape(-1),
+        build_idx.reshape(-1),
+        valid.reshape(-1),
+    )
+
+
+def hash_join(
+    probe_table,
+    build_table,
+    on: Tuple[str, str],
+    max_fanout: int = 1,
+    probe_mask: Optional[jax.Array] = None,
+):
+    """Inner equi-join; returns (probe_idx, build_idx, valid) selection.
+
+    ``max_fanout`` bounds duplicate build keys per probe row (1 = unique
+    build keys, the dimension-join case).  Null keys never match.
+    """
+    pk = probe_table[on[0]]
+    bk = build_table[on[1]]
+    probe_keys = pk.values
+    build_keys = bk.values
+    if bk.validity is not None:
+        # send null build keys to a sentinel that cannot match
+        build_keys = jnp.where(
+            bk.validity, build_keys, jnp.asarray(-(2**62), build_keys.dtype)
+        )
+    pi, bi, valid = _join_indices(build_keys, probe_keys, max_fanout)
+    pv = pk.validity
+    if probe_mask is not None:
+        pv = probe_mask if pv is None else jnp.logical_and(pv, probe_mask)
+    if pv is not None:
+        valid = jnp.logical_and(valid, jnp.repeat(pv, max_fanout))
+    return pi, bi, valid

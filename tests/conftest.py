@@ -7,12 +7,19 @@ benchmarking lives in bench.py which does NOT go through pytest.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The container's sitecustomize registers the axon TPU PJRT plugin and pins
+# JAX_PLATFORMS=axon before conftest runs; jax backend selection is lazy, so
+# forcing the config here still wins as long as no computation ran yet.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -1,0 +1,145 @@
+"""Device scan/filter/aggregate/join tests (8-device CPU jax via conftest)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from strawboat_tpu.api import write_file
+from strawboat_tpu.codecs import WriteOptions
+from strawboat_tpu.constants import Compression
+
+
+def _opts(**kw):
+    return WriteOptions(
+        default_compression=Compression.LZ4,
+        default_compress_ratio=1.0,
+        max_page_size=2048,
+        sample_seed=7,
+        **kw,
+    )
+
+
+@pytest.fixture
+def scan_table(tmp_strawboat):
+    rng = np.random.default_rng(3)
+    n = 6000
+    table = pa.table(
+        {
+            "onevalue": pa.array(np.full(n, 42, dtype=np.int64)),
+            "lowcard": pa.array((rng.integers(0, 6, n) * 1000).astype(np.int64)),
+            "runs": pa.array(np.repeat(rng.integers(0, 50, n // 100), 100).astype(np.int64)),
+            "bp": pa.array(rng.integers(0, 1 << 14, n, dtype=np.int32)),
+            "sorted": pa.array(np.sort(rng.integers(0, 1 << 20, n).astype(np.uint32))),
+            "freq": pa.array(np.where(rng.random(n) < 0.95, 10**6, rng.integers(0, 10**9, n)).astype(np.int64)),
+            "plain": pa.array(rng.normal(0, 1, n)),
+            "nullable": pa.array([int(v) if m else None for v, m in zip(rng.integers(0, 100, n), rng.random(n) > 0.3)], type=pa.int64()),
+            "flag": pa.array(rng.random(n) > 0.5),
+        }
+    )
+    write_file(tmp_strawboat, table, options=_opts())
+    return tmp_strawboat, table
+
+
+def test_device_scan_matches_host(scan_table):
+    from strawboat_tpu.exec import scan_file
+
+    path, table = scan_table
+    dt = scan_file(path)
+    for name in table.column_names:
+        col = table.column(name).combine_chunks()
+        dev = dt[name]
+        got = np.asarray(dev.values)
+        if dev.validity is not None:
+            mask = np.asarray(dev.validity)
+            exp_mask = ~np.asarray(col.is_null())
+            np.testing.assert_array_equal(mask, exp_mask, err_msg=name)
+            exp = col.to_numpy(zero_copy_only=False)
+            np.testing.assert_array_equal(got[mask], exp[mask].astype(got.dtype), err_msg=name)
+        else:
+            exp = col.to_numpy(zero_copy_only=False)
+            np.testing.assert_array_equal(got, exp.astype(got.dtype), err_msg=name)
+
+
+def test_filter_aggregate(scan_table):
+    import jax.numpy as jnp
+
+    from strawboat_tpu.exec import col, scan_file
+    from strawboat_tpu.exec.aggregate import scalar_aggregate
+
+    path, table = scan_table
+    dt = scan_file(path)
+    pred = (col("bp") > 5000) & (col("runs") < 25)
+    mask = pred.mask(dt)
+    exp_mask = (
+        table.column("bp").to_numpy() > 5000
+    ) & (table.column("runs").to_numpy() < 25)
+    np.testing.assert_array_equal(np.asarray(mask), exp_mask)
+    s = scalar_aggregate(dt["freq"].values, mask, "sum")
+    assert int(s) == int(table.column("freq").to_numpy()[exp_mask].sum())
+    c = scalar_aggregate(dt["freq"].values, mask, "count")
+    assert int(c) == int(exp_mask.sum())
+
+
+def test_grouped_aggregate(scan_table):
+    from strawboat_tpu.exec import hash_aggregate, scan_file
+
+    path, table = scan_table
+    dt = scan_file(path)
+    res = hash_aggregate(
+        dt, keys=["lowcard"], aggs={"total": ("sum", "freq"), "cnt": ("count", "freq")},
+        num_groups=64,
+    )
+    n_groups = int(res["n_groups"])
+    assert n_groups == 6
+    # compare against pyarrow group-by
+    exp = table.group_by("lowcard").aggregate([("freq", "sum"), ("freq", "count")])
+    exp_map = {
+        int(k): (int(s), int(c))
+        for k, s, c in zip(
+            exp.column("lowcard").to_pylist(),
+            exp.column("freq_sum").to_pylist(),
+            exp.column("freq_count").to_pylist(),
+        )
+    }
+    keys = np.asarray(res["keys"])[:n_groups]
+    totals = np.asarray(res["total"])[:n_groups]
+    cnts = np.asarray(res["cnt"])[:n_groups]
+    got_map = {int(k): (int(t), int(c)) for k, t, c in zip(keys, totals, cnts)}
+    assert got_map == exp_map
+
+
+def test_hash_join(tmp_strawboat, tmp_path):
+    rng = np.random.default_rng(9)
+    n, m = 4000, 64
+    fact = pa.table(
+        {
+            "k": pa.array(rng.integers(0, m, n).astype(np.int64)),
+            "v": pa.array(rng.integers(0, 1000, n).astype(np.int64)),
+        }
+    )
+    dim = pa.table(
+        {
+            "id": pa.array(np.arange(m, dtype=np.int64)),
+            "w": pa.array(rng.integers(0, 10, m).astype(np.int64)),
+        }
+    )
+    fpath, dpath = str(tmp_path / "f.str"), str(tmp_path / "d.str")
+    write_file(fpath, fact, options=_opts())
+    write_file(dpath, dim, options=_opts())
+
+    from strawboat_tpu.exec import hash_join, scan_file
+    from strawboat_tpu.exec.aggregate import scalar_aggregate
+
+    ft = scan_file(fpath)
+    dtab = scan_file(dpath)
+    pi, bi, valid = hash_join(ft, dtab, on=("k", "id"), max_fanout=1)
+    # sum(v * w) over the join
+    import jax.numpy as jnp
+
+    prod = ft["v"].values[pi] * dtab["w"].values[bi]
+    got = int(scalar_aggregate(prod, valid, "sum"))
+    exp = int(
+        (fact.column("v").to_numpy() * dim.column("w").to_numpy()[fact.column("k").to_numpy()]).sum()
+    )
+    assert got == exp
