@@ -1,0 +1,86 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY §4: the
+multi-host test model is shard_map simulation — no reference counterpart)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from strawboat_tpu.parallel import (
+    distributed_aggregate,
+    hash_partition_ids,
+    make_mesh,
+    shuffle_by_key,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "expected 8 virtual CPU devices"
+    return make_mesh(8)
+
+
+def _shard(mesh, arr):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(arr, NamedSharding(mesh, P("shards")))
+
+
+def test_shuffle_brings_equal_keys_together(mesh):
+    rng = np.random.default_rng(0)
+    n = 8 * 512
+    key = rng.integers(0, 50, n).astype(np.int64)
+    val = rng.integers(0, 1000, n).astype(np.int64)
+    k = _shard(mesh, jnp.asarray(key))
+    v = _shard(mesh, jnp.asarray(val))
+    out_key, (out_val,), valid = shuffle_by_key(mesh, "shards", k, (v,), capacity=512)
+    ok, ov, om = np.asarray(out_key), np.asarray(out_val), np.asarray(valid)
+    # all rows survive (no overflow at this capacity)
+    assert om.sum() == n
+    # every key lands on exactly one shard
+    per_shard = ok.reshape(8, -1)
+    per_mask = om.reshape(8, -1)
+    owner = {}
+    for s in range(8):
+        for kk in np.unique(per_shard[s][per_mask[s]]):
+            assert owner.setdefault(int(kk), s) == s
+    # multiset of (key, val) pairs preserved
+    got = sorted(zip(ok[om].tolist(), ov[om].tolist()))
+    exp = sorted(zip(key.tolist(), val.tolist()))
+    assert got == exp
+
+
+def test_distributed_aggregate_matches_single_device(mesh):
+    rng = np.random.default_rng(1)
+    n = 8 * 1024
+    key = rng.integers(0, 40, n).astype(np.int64)
+    val = rng.integers(0, 10**6, n).astype(np.int64)
+    k = _shard(mesh, jnp.asarray(key))
+    v = _shard(mesh, jnp.asarray(val))
+    res = distributed_aggregate(
+        mesh, "shards", k, {"total": ("sum", v), "mx": ("max", v)}, num_groups=256
+    )
+    keys = np.asarray(res["keys"])
+    valid = np.asarray(res["valid"])
+    totals = np.asarray(res["total"])
+    mxs = np.asarray(res["mx"])
+    got = {}
+    for kk, t, m, ok in zip(keys, totals, mxs, valid):
+        if ok:
+            assert int(kk) not in got, "key appears on two shards"
+            got[int(kk)] = (int(t), int(m))
+    exp = {}
+    for kk in np.unique(key):
+        sel = key == kk
+        exp[int(kk)] = (int(val[sel].sum()), int(val[sel].max()))
+    assert got == exp
+
+
+def test_skew_salting_spreads_hot_key(mesh):
+    n = 8 * 256
+    key = jnp.zeros(n, dtype=jnp.int64)  # one hot key
+    parts_plain = hash_partition_ids(key, 8)
+    parts_salted = hash_partition_ids(key, 8, salt=8)
+    assert len(np.unique(np.asarray(parts_plain))) == 1
+    assert len(np.unique(np.asarray(parts_salted))) == 8
