@@ -51,7 +51,7 @@ def distributed_aggregate(
         in_specs=(P(axis), tuple(P(axis) for _ in cols))
         + ((P(axis),) if mask is not None else ()),
         out_specs=(P(axis), tuple(P(axis) for _ in cols), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
     def _local_partial(local_key, local_cols, *maybe_mask):
         m = maybe_mask[0] if maybe_mask else None
@@ -81,7 +81,7 @@ def distributed_aggregate(
         mesh=mesh,
         in_specs=(P(axis), tuple(P(axis) for _ in recv_partials), P(axis)),
         out_specs=(P(axis), tuple(P(axis) for _ in recv_partials), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
     def _final(local_key, local_partials, local_valid):
         uniq, n_grp, rep, outs = grouped_aggregate(

@@ -91,7 +91,7 @@ def shuffle_by_key(
         mesh=mesh,
         in_specs=(P(axis), tuple(P(axis) for _ in payloads)),
         out_specs=(P(axis), tuple(P(axis) for _ in payloads), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
     def _shuffle(local_key, local_payloads):
         part = hash_partition_ids(local_key, n_parts, salt=salt)
