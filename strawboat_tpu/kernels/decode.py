@@ -52,6 +52,60 @@ def bitunpack_device(words: jax.Array, num_bits: int) -> jax.Array:
     return out.reshape(n_blocks, BLOCK_LEN)
 
 
+@functools.lru_cache(maxsize=64)
+def _unpack_tables(b: int):
+    """Static lane-gather/shift tables for the flat lane-aligned unpack."""
+    import math
+
+    row_words = math.lcm(4 * b, 128)
+    blocks_per_row = row_words // (4 * b)
+    out_cols = blocks_per_row * BLOCK_LEN
+    c = np.arange(out_cols)
+    bir, r = c // BLOCK_LEN, c % BLOCK_LEN
+    t, l = r // 4, r % 4
+    s = t * b
+    w0, sh = s // 32, s % 32
+    src_lo = bir * 4 * b + w0 * 4 + l
+    use_hi = (sh + b) > 32
+    src_hi = np.where(use_hi, np.minimum(src_lo + 4, row_words - 1), src_lo)
+    return (
+        row_words,
+        blocks_per_row,
+        src_lo.astype(np.int32),
+        src_hi.astype(np.int32),
+        sh.astype(np.uint32),
+        use_hi,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def bitunpack_flat_device(words: jax.Array, num_bits: int) -> jax.Array:
+    """Lane-aligned bitpacked unpack: 1-D header-stripped words → values.
+
+    ``words`` is the flat u32 stream of whole 128-value blocks, padded so the
+    block count divides ``lcm(4*b, 128) / (4*b)``.  All tensors keep a
+    128-multiple minor dimension, so nothing pays the half-lane tiling tax
+    that a ``(n_blocks, 4*b)`` layout incurs on TPU.
+    """
+    b = num_bits
+    if b == 0:
+        return jnp.zeros((words.shape[0] * 32,), dtype=jnp.uint32)
+    row_words, bpr, src_lo, src_hi, sh, use_hi = _unpack_tables(b)
+    W = words.shape[0] // row_words
+    w2 = words.reshape(W, row_words)
+    lo = jnp.take(w2, jnp.asarray(src_lo), axis=1)
+    hi = jnp.take(w2, jnp.asarray(src_hi), axis=1)
+    shv = jnp.asarray(sh)[None, :]
+    mask = jnp.uint32((1 << b) - 1) if b < 32 else jnp.uint32(0xFFFFFFFF)
+    vals = lo >> shv
+    hi_part = jnp.where(
+        jnp.asarray(use_hi)[None, :],
+        hi << (jnp.uint32(32) - shv),
+        jnp.uint32(0),
+    )
+    return ((vals | hi_part) & mask).reshape(-1)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def delta_bitunpack_device(words: jax.Array, num_bits: int) -> jax.Array:
     """Delta-bitpacked blocks → values via global prefix sum (mod 2^32)."""
