@@ -1,0 +1,93 @@
+"""Headline benchmark: on-device bitpacked page decode throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Measurement notes (this box reaches the TPU through the axon relay, where
+``block_until_ready`` returns before execution and host fetches can stall):
+timing runs N kernel iterations inside one jitted ``fori_loop`` with a forced
+data dependency, fetches a single scalar, and differences two N values to
+cancel fixed dispatch/fetch costs.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the target is
+0.8 x HBM roofline on primitive-column decode.  v5e HBM ~819 GB/s, so
+vs_baseline = achieved_bytes_moved_per_sec / (0.8 * 819 GB/s).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+HBM_GBPS = 819.0  # TPU v5e peak HBM bandwidth
+TARGET = 0.8 * HBM_GBPS
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from strawboat_tpu.kernels.bitunpack_pallas import (
+        bitunpack_pallas_tmajor,
+        transpose_words_host,
+    )
+
+    b = 16
+    n_blocks = 1 << 17  # 16.7M values; in 32 MB, out 64 MB
+    rng = np.random.default_rng(0)
+    words = rng.integers(0, 1 << 32, n_blocks * b * 4, dtype=np.uint64).astype(
+        np.uint32
+    )
+    wt = jnp.asarray(transpose_words_host(words, b))
+    in_bytes = wt.size * 4
+    out_bytes = n_blocks * 128 * 4
+
+    @jax.jit
+    def run(wt, n):
+        def body(i, carry):
+            w, acc = carry
+            w = w ^ (acc & jnp.uint32(1))  # forces a fresh decode per iter
+            out = bitunpack_pallas_tmajor(w, b)
+            return (w, acc + jnp.sum(out, dtype=jnp.uint32))
+
+        _, acc = jax.lax.fori_loop(0, n, body, (wt, jnp.uint32(0)))
+        return acc
+
+    # warm / compile
+    float(run(wt, 1))
+
+    def once(n: int) -> float:
+        t0 = time.perf_counter()
+        float(run(wt, n))
+        return time.perf_counter() - t0
+
+    n_small, n_big = 2, 12
+    t_small = min(once(n_small) for _ in range(3))
+    t_big = min(once(n_big) for _ in range(3))
+    dt = max((t_big - t_small) / (n_big - n_small), 1e-9)
+
+    # traffic per iteration: xor pass (r+w input) + decode (r input, w output)
+    # + reduce (r output, fused with decode write → counted once)
+    moved = 3 * in_bytes + out_bytes
+    gbps = moved / dt / 1e9
+    print(
+        json.dumps(
+            {
+                "metric": "bitpack_decode_bandwidth",
+                "value": round(gbps, 2),
+                "unit": "GB/s",
+                "vs_baseline": round(gbps / TARGET, 4),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

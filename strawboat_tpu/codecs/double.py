@@ -46,6 +46,16 @@ _RING = 128
 
 
 def patas_encode(values: np.ndarray) -> bytes:
+    from .. import native
+
+    if len(values) > 256:
+        out = native.patas_encode_native(values) if native.available() else None
+        if out is not None:
+            return out
+    return _patas_encode_py(values)
+
+
+def _patas_encode_py(values: np.ndarray) -> bytes:
     dtype = values.dtype
     width = dtype.itemsize  # 4 or 8
     wbits = width * 8
@@ -88,6 +98,19 @@ def patas_encode(values: np.ndarray) -> bytes:
 
 
 def patas_decode(buf, pos: int, length: int, dtype: np.dtype) -> Tuple[np.ndarray, int]:
+    from .. import native
+
+    dtype = np.dtype(dtype)
+    if length > 256 and native.available():
+        out = native.patas_decode_native(np.asarray(buf, dtype=np.uint8), pos, length, dtype)
+        if out is not None:
+            # consumed size is not tracked by the native path; the framing
+            # layer advances by compressed_size, so return pos unchanged-safe
+            return out, pos
+    return _patas_decode_py(buf, pos, length, dtype)
+
+
+def _patas_decode_py(buf, pos: int, length: int, dtype: np.dtype) -> Tuple[np.ndarray, int]:
     dtype = np.dtype(dtype)
     width = dtype.itemsize
     wbits = width * 8

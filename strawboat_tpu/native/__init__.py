@@ -1,0 +1,181 @@
+"""Native host runtime loader: builds (once) and binds libstrawboat_native.
+
+Falls back gracefully — callers check ``available()`` and use the pure
+numpy/ctypes paths when the toolchain or codec libs are missing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "strawboat_native.cpp")
+_SO = os.path.join(_HERE, "libstrawboat_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        _SRC,
+        "-o",
+        _SO,
+        "-l:liblz4.so.1",
+        "-l:libzstd.so.1",
+        "-l:libsnappy.so.1",
+        "-lpthread",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.sb_decompress_batch.restype = ctypes.c_int
+        lib.sb_decompress_batch.argtypes = [
+            ctypes.c_int,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+        ]
+        lib.sb_compress.restype = ctypes.c_int64
+        lib.sb_compress.argtypes = [
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.sb_compress_bound.restype = ctypes.c_int64
+        lib.sb_compress_bound.argtypes = [ctypes.c_int, ctypes.c_int64]
+        lib.sb_patas_decode.restype = ctypes.c_int
+        lib.sb_patas_decode.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_void_p,
+        ]
+        lib.sb_patas_encode.restype = ctypes.c_int64
+        lib.sb_patas_encode.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_void_p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decompress_batch(codec: int, inputs, out_lens, n_threads: int = 0):
+    """Decompress a batch of pages in parallel native threads.
+
+    inputs: list of (bytes|memoryview|np.uint8 array); out_lens: list of int.
+    Returns list of np.uint8 arrays.
+    """
+    lib = _load()
+    assert lib is not None
+    n = len(inputs)
+    outs = [np.empty(int(L), dtype=np.uint8) for L in out_lens]
+    in_bufs = [np.frombuffer(b, dtype=np.uint8) if not isinstance(b, np.ndarray) else b for b in inputs]
+    in_ptrs = (ctypes.c_void_p * n)(
+        *[b.ctypes.data_as(ctypes.c_void_p).value for b in in_bufs]
+    )
+    in_lens = (ctypes.c_int64 * n)(*[b.size for b in in_bufs])
+    out_ptrs = (ctypes.c_void_p * n)(
+        *[o.ctypes.data_as(ctypes.c_void_p).value for o in outs]
+    )
+    out_lens_c = (ctypes.c_int64 * n)(*[o.size for o in outs])
+    rc = lib.sb_decompress_batch(
+        codec,
+        n,
+        ctypes.cast(in_ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        in_lens,
+        ctypes.cast(out_ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        out_lens_c,
+        n_threads,
+    )
+    if rc != 0:
+        from ..errors import OutOfSpecError
+
+        raise OutOfSpecError(f"native batch decompression failed (rc={rc})")
+    return outs
+
+
+def patas_decode_native(buf: np.ndarray, pos: int, length: int, dtype) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    dtype = np.dtype(dtype)
+    width = dtype.itemsize
+    out = np.empty(length, dtype=np.uint64)
+    src = np.ascontiguousarray(buf[pos:])
+    rc = lib.sb_patas_decode(
+        src.ctypes.data_as(ctypes.c_void_p),
+        src.size,
+        length,
+        width,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        from ..errors import OutOfSpecError
+
+        raise OutOfSpecError(f"native patas decode failed (rc={rc})")
+    return out.astype(f"<u{width}").view(dtype)
+
+
+def patas_encode_native(values: np.ndarray) -> Optional[bytes]:
+    lib = _load()
+    if lib is None:
+        return None
+    dtype = values.dtype
+    width = dtype.itemsize
+    bits = values.view(f"<u{width}").astype(np.uint64)
+    n = len(bits)
+    if n == 0:
+        return b""
+    out = np.empty(n * (width + 2) + width, dtype=np.uint8)
+    written = lib.sb_patas_encode(
+        bits.ctypes.data_as(ctypes.c_void_p),
+        n,
+        width,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if written < 0:
+        return None
+    return out[:written].tobytes()

@@ -1,0 +1,218 @@
+// Native host runtime for strawboat-tpu.
+//
+// Provides the byte-stream-sequential work that neither numpy nor the TPU
+// can vectorize well:
+//   - batched general-codec page decompression (LZ4 block / Zstd / Snappy)
+//     over a std::thread pool — the host-side feeder for device scans
+//   - PATAS float decode/encode (xor-chain with ring-buffer references;
+//     reference src/compression/double/patas.rs:36-202)
+//
+// Built as a plain C ABI shared library, loaded with ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <atomic>
+#include <thread>
+#include <vector>
+#include <unordered_map>
+
+extern "C" {
+// liblz4 / libzstd / libsnappy (C ABI, linked at runtime)
+int LZ4_compressBound(int inputSize);
+int LZ4_compress_default(const char* src, char* dst, int srcSize, int dstCapacity);
+int LZ4_decompress_safe(const char* src, char* dst, int compressedSize, int dstCapacity);
+size_t ZSTD_compressBound(size_t srcSize);
+size_t ZSTD_compress(void* dst, size_t dstCapacity, const void* src, size_t srcSize, int level);
+size_t ZSTD_decompress(void* dst, size_t dstCapacity, const void* src, size_t srcSize);
+unsigned ZSTD_isError(size_t code);
+int snappy_compress(const char* input, size_t input_length, char* compressed, size_t* compressed_length);
+int snappy_uncompress(const char* compressed, size_t compressed_length, char* uncompressed, size_t* uncompressed_length);
+size_t snappy_max_compressed_length(size_t source_length);
+}
+
+namespace {
+
+enum Codec : int { kNone = 0, kLz4 = 1, kZstd = 2, kSnappy = 3 };
+
+int decompress_one(int codec, const uint8_t* in, int64_t in_len, uint8_t* out,
+                   int64_t out_len) {
+  switch (codec) {
+    case kNone:
+      if (in_len != out_len) return -1;
+      std::memcpy(out, in, (size_t)out_len);
+      return 0;
+    case kLz4: {
+      int n = LZ4_decompress_safe((const char*)in, (char*)out, (int)in_len,
+                                  (int)out_len);
+      return n == (int)out_len ? 0 : -2;
+    }
+    case kZstd: {
+      size_t n = ZSTD_decompress(out, (size_t)out_len, in, (size_t)in_len);
+      return (!ZSTD_isError(n) && n == (size_t)out_len) ? 0 : -3;
+    }
+    case kSnappy: {
+      size_t n = (size_t)out_len;
+      int rc = snappy_uncompress((const char*)in, (size_t)in_len, (char*)out, &n);
+      return (rc == 0 && n == (size_t)out_len) ? 0 : -4;
+    }
+  }
+  return -5;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decompress n pages in parallel.  Arrays of pointers/sizes; returns 0 or the
+// first nonzero per-page error code.
+int sb_decompress_batch(int codec, int64_t n, const uint8_t** inputs,
+                        const int64_t* in_lens, uint8_t** outputs,
+                        const int64_t* out_lens, int n_threads) {
+  if (n <= 0) return 0;
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads > n) n_threads = (int)n;
+  std::atomic<int64_t> next(0);
+  std::atomic<int> err(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) break;
+      int rc = decompress_one(codec, inputs[i], in_lens[i], outputs[i], out_lens[i]);
+      if (rc != 0) err.store(rc);
+    }
+  };
+  if (n_threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return err.load();
+}
+
+// Single-shot compress into caller buffer; returns compressed size or <0.
+int64_t sb_compress(int codec, const uint8_t* in, int64_t in_len, uint8_t* out,
+                    int64_t out_cap) {
+  switch (codec) {
+    case kNone:
+      if (out_cap < in_len) return -1;
+      std::memcpy(out, in, (size_t)in_len);
+      return in_len;
+    case kLz4: {
+      int n = LZ4_compress_default((const char*)in, (char*)out, (int)in_len,
+                                   (int)out_cap);
+      return n > 0 ? n : -2;
+    }
+    case kZstd: {
+      size_t n = ZSTD_compress(out, (size_t)out_cap, in, (size_t)in_len, 0);
+      return ZSTD_isError(n) ? -3 : (int64_t)n;
+    }
+    case kSnappy: {
+      size_t n = (size_t)out_cap;
+      int rc = snappy_compress((const char*)in, (size_t)in_len, (char*)out, &n);
+      return rc == 0 ? (int64_t)n : -4;
+    }
+  }
+  return -5;
+}
+
+int64_t sb_compress_bound(int codec, int64_t in_len) {
+  switch (codec) {
+    case kNone: return in_len;
+    case kLz4: return LZ4_compressBound((int)in_len);
+    case kZstd: return (int64_t)ZSTD_compressBound((size_t)in_len);
+    case kSnappy: return (int64_t)snappy_max_compressed_length((size_t)in_len);
+  }
+  return -1;
+}
+
+// ---------------------------------------------------------------------------
+// PATAS (f64/f32 via width parameter; semantics mirror patas.rs + the f32
+// equal-marker fix described in codecs/double.py)
+
+int sb_patas_decode(const uint8_t* in, int64_t in_len, int64_t length,
+                    int width, uint64_t* out) {
+  if (length <= 0) return 0;
+  if (in_len < width) return -1;
+  const int wbits = width * 8;
+  const int equal_tz = wbits - 1;
+  const uint64_t mask = width == 8 ? ~0ull : ((1ull << wbits) - 1);
+  int64_t p = 0;
+  uint64_t first = 0;
+  std::memcpy(&first, in, (size_t)width);
+  out[0] = first;
+  p += width;
+  for (int64_t i = 1; i < length; ++i) {
+    if (p + 2 > in_len) return -2;
+    uint16_t packed;
+    std::memcpy(&packed, in + p, 2);
+    p += 2;
+    int diff = (packed >> 9) & 0x7F;
+    int sig = (packed >> 6) & 0x7;
+    int tz = packed & 0x3F;
+    if (tz < equal_tz && sig == 0) sig = 8;
+    if (sig > width && tz < 8) sig = width;
+    uint64_t val = 0;
+    if (sig > width) {
+      p += sig;  // reference read_value_custom returns default
+    } else {
+      if (p + sig > in_len) return -3;
+      std::memcpy(&val, in + p, (size_t)sig);
+      p += sig;
+    }
+    uint64_t prev = out[i - diff];
+    out[i] = ((val << tz) & mask) ^ prev;
+  }
+  return 0;
+}
+
+// Encode: out must have capacity length*(width+2)+width; returns bytes written.
+int64_t sb_patas_encode(const uint64_t* bits, int64_t length, int width,
+                        uint8_t* out) {
+  if (length <= 0) return 0;
+  const int wbits = width * 8;
+  const uint64_t mask = width == 8 ? ~0ull : ((1ull << wbits) - 1);
+  std::unordered_map<uint64_t, int64_t> indices;
+  indices.reserve(256);
+  int64_t p = 0;
+  std::memcpy(out + p, &bits[0], (size_t)width);
+  p += width;
+  indices.emplace(bits[0], 0);
+  for (int64_t i = 1; i < length; ++i) {
+    uint64_t val = bits[i];
+    int64_t ref_idx = 0;
+    auto it = indices.find(val);
+    if (it != indices.end()) ref_idx = it->second;
+    if (ref_idx > i || (i - ref_idx) >= 128) ref_idx = i - 1;
+    int diff = (int)(i - ref_idx);
+    uint64_t refer = bits[i - diff];
+    uint64_t x = val ^ refer;
+    int tz, lz;
+    if (x == 0) {
+      tz = wbits;
+      lz = wbits;
+    } else {
+      tz = __builtin_ctzll(x);
+      lz = __builtin_clzll(x) - (64 - wbits);
+    }
+    int is_equal = (tz == wbits) ? 1 : 0;
+    int sig_bits = is_equal ? 0 : wbits - tz - lz;
+    int sig_bytes = (sig_bits >> 3) + ((sig_bits & 7) ? 1 : 0);
+    uint16_t packed = (uint16_t)(((diff & 0x7F) << 9) | ((sig_bytes & 7) << 6) |
+                                 (tz - is_equal));
+    std::memcpy(out + p, &packed, 2);
+    p += 2;
+    if (sig_bytes) {
+      uint64_t payload = (x >> (tz - is_equal)) & mask;
+      std::memcpy(out + p, &payload, (size_t)sig_bytes);
+      p += sig_bytes;
+    }
+    indices[val] = i;
+  }
+  return p;
+}
+
+}  // extern "C"
