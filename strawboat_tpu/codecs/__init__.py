@@ -33,6 +33,8 @@ class WriteOptions:
     max_page_size: Optional[int] = None
     forbidden_compressions: List[Compression] = dc_field(default_factory=list)
     sample_seed: Optional[int] = None
+    # extension: emit a per-page min/max/null zone-map sidecar for pruning
+    zone_maps: bool = False
 
     def forbid(self, codec: Compression) -> "WriteOptions":
         return WriteOptions(
@@ -41,6 +43,7 @@ class WriteOptions:
             self.max_page_size,
             list(self.forbidden_compressions) + [codec],
             self.sample_seed,
+            self.zone_maps,
         )
 
 

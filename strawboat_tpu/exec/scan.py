@@ -203,34 +203,80 @@ def decode_column_pages_device(
     file_bytes: np.ndarray,
     meta: ColumnMeta,
     field: pa.Field,
+    keep: Optional[np.ndarray] = None,
 ) -> DeviceColumn:
-    """Decode all pages of a simple column straight to device buffers."""
+    """Decode the (surviving) pages of a simple column to device buffers.
+
+    ``keep`` is a per-page boolean mask from zone-map pruning; dropped pages
+    are seek-skipped exactly like the reference's ``Iterator::nth``
+    (reader.rs:91-116).  Contiguous raw-codec pages batch-decompress on
+    native threads when the runtime is available.
+    """
     dtype = field.type
     np_dtype = _np_storage_dtype(dtype) if not pa.types.is_boolean(dtype) else None
-    parts = []
-    vparts = []
-    pos = meta.offset
     nullable = bool(field.nullable)
-    for page in meta.pages:
+
+    # pass 1: locate page bodies
+    plans = []  # (length, validity_arr|None, codec, body_slice|None, page_buf, p)
+    pos = meta.offset
+    for i, page in enumerate(meta.pages):
         page_end = pos + page.length
+        if keep is not None and not keep[i]:
+            pos = page_end
+            continue
         buf = file_bytes[pos:page_end]
         p = 0
         length = page.num_values
+        validity = None
         if nullable:
             validity, p = read_validity(buf, p, length)
-            if validity is None:
-                vparts.append(jnp.ones(length, dtype=jnp.bool_))
-            else:
-                vparts.append(jnp.asarray(validity))
+        plans.append((length, validity, buf, p))
+        pos = page_end
+
+    # batched native decompression for raw-codec primitive pages
+    raw_jobs = []
+    for idx, (length, _v, buf, p) in enumerate(plans):
+        if pa.types.is_boolean(dtype):
+            continue
+        codec, csize, _us, body = read_header(buf, p)
+        if codec.raw_mode and codec != Compression.NONE:
+            raw_jobs.append((idx, codec, buf[body : body + csize], length))
+    raw_results = {}
+    if len(raw_jobs) > 1:
+        from .. import native
+
+        if native.available() and len({j[1] for j in raw_jobs}) == 1:
+            outs = native.decompress_batch(
+                int(raw_jobs[0][1]),
+                [j[2] for j in raw_jobs],
+                [j[3] * np_dtype.itemsize for j in raw_jobs],
+            )
+            for (idx, _c, _b, _l), out in zip(raw_jobs, outs):
+                raw_results[idx] = out.view(np_dtype)
+
+    parts = []
+    vparts = []
+    for idx, (length, validity, buf, p) in enumerate(plans):
+        if nullable:
+            vparts.append(
+                jnp.ones(length, dtype=jnp.bool_)
+                if validity is None
+                else jnp.asarray(validity)
+            )
         if pa.types.is_boolean(dtype):
             from ..codecs import decompress_boolean
 
             host_vals, _ = decompress_boolean(buf, p, length)
             parts.append(jnp.asarray(host_vals))
+        elif idx in raw_results:
+            parts.append(jnp.asarray(raw_results[idx]))
         else:
             vals, _ = _decode_structured_to_device(buf, p, length, np_dtype)
             parts.append(vals)
-        pos = page_end
+
+    if not parts:
+        values = jnp.zeros(0, dtype=jnp.dtype(np_dtype) if np_dtype else jnp.bool_)
+        return DeviceColumn(field.name, dtype, values, None)
     values = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     validity = (
         (jnp.concatenate(vparts) if len(vparts) > 1 else vparts[0])
@@ -243,9 +289,13 @@ def decode_column_pages_device(
 def scan_file(
     path: str,
     columns: Optional[Sequence[str]] = None,
+    predicates: Optional[Sequence] = None,
 ) -> DeviceTable:
     """Scan a strawboat file into device-resident columns.
 
+    ``predicates``: optional list of ``pruning.Comparison`` atoms — when a
+    zone-map sidecar exists, pages that cannot match are seek-skipped for
+    every scanned column (the row grid stays aligned).
     Simple primitive columns decode on device; binary/nested columns fall
     back to the host reader (device layouts for those come with the string
     kernels).
@@ -254,6 +304,16 @@ def scan_file(
         schema = infer_schema(f)
         metas = read_meta(f)
     file_bytes = np.fromfile(path, dtype=np.uint8)
+    keep = None
+    if predicates:
+        from .pruning import prune_pages, read_zones
+
+        zones = read_zones(path)
+        if zones:
+            n_pages = max(len(m.pages) for m in metas)
+            keep = prune_pages(zones, predicates, n_pages)
+            if keep.all():
+                keep = None
     out: Dict[str, DeviceColumn] = {}
     num_rows = 0
     i = 0
@@ -276,7 +336,7 @@ def scan_file(
             raise NotYetImplementedError(
                 f"device scan for binary column {field.name} (host path: api.read_table)"
             )
-        col = decode_column_pages_device(file_bytes, meta, field)
+        col = decode_column_pages_device(file_bytes, meta, field, keep)
         out[field.name] = col
         num_rows = len(col)
     return DeviceTable(out, num_rows)

@@ -32,6 +32,7 @@ class NativeWriter:
         self.schema = schema
         self.options = options or WriteOptions()
         self.metas: List[ColumnMeta] = []
+        self._zones = {}
         self._offset = 0
         self._state = _STATE_NONE
 
@@ -70,6 +71,10 @@ class NativeWriter:
         self._encode_chunk(columns)
         self._state = _STATE_WRITTEN
 
+    @property
+    def zones(self):
+        return self._zones
+
     def _encode_chunk(self, columns: Sequence[Column]) -> None:
         n_rows = len(columns[0]) if columns else 0
         page_size = min(self.options.max_page_size or n_rows, n_rows)
@@ -79,6 +84,7 @@ class NativeWriter:
                 pages: List[PageMeta] = []
                 length = len(col)
                 step = max(page_size, 1)
+                zone_pages = []
                 for off in range(0, length, step):
                     ln = min(step, length - off)
                     s_nests, s_leaf = slice_nested(nests, leaf, off, ln)
@@ -86,7 +92,22 @@ class NativeWriter:
                     body, num_values = write_page(s_nests, s_leaf, self.options)
                     self._write(body)
                     pages.append(PageMeta(self._offset - page_start, num_values))
+                    if (
+                        self.options.zone_maps
+                        and len(nests) == 1
+                        and hasattr(s_leaf, "values")
+                        and getattr(s_leaf.values, "dtype", None) is not None
+                        and s_leaf.values.dtype.kind in "iuf"
+                    ):
+                        from ..exec.pruning import PageZone, compute_zones
+
+                        mn, mx, nulls = compute_zones(s_leaf.values, s_leaf.validity)
+                        zone_pages.append(PageZone(mn, mx, nulls, ln))
                 self.metas.append(ColumnMeta(start, pages))
+                if self.options.zone_maps and zone_pages:
+                    from ..exec.pruning import ColumnZones
+
+                    self._zones[field.name] = ColumnZones(field.name, zone_pages)
 
     def finish(self) -> None:
         if self._state != _STATE_WRITTEN:
@@ -136,6 +157,10 @@ def write_file(
         w.start()
         w.write(data)
         w.finish()
+        if options is not None and options.zone_maps and own and w.zones:
+            from ..exec.pruning import write_zones
+
+            write_zones(path_or_file, w.zones)
         return w.metas
     finally:
         if own:

@@ -1,0 +1,70 @@
+"""Zone-map pruning tests: pages outside the predicate range are skipped,
+results stay exact (the page-skip behavior of reference reader.rs:91-116
+driven by stats instead of an external catalog)."""
+
+import numpy as np
+import pyarrow as pa
+
+from strawboat_tpu.api import write_file
+from strawboat_tpu.codecs import WriteOptions
+from strawboat_tpu.constants import Compression
+from strawboat_tpu.exec import scan_file
+from strawboat_tpu.exec.pruning import Comparison, read_zones
+
+
+def _write_sorted(tmp_path):
+    n = 8192
+    path = str(tmp_path / "z.str")
+    table = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(np.arange(n, dtype=np.int64) * 3),
+        }
+    )
+    write_file(
+        path,
+        table,
+        options=WriteOptions(
+            default_compression=Compression.LZ4,
+            max_page_size=1024,
+            zone_maps=True,
+        ),
+    )
+    return path, table
+
+
+def test_zones_written(tmp_path):
+    path, _ = _write_sorted(tmp_path)
+    zones = read_zones(path)
+    assert zones is not None and "k" in zones
+    assert len(zones["k"].pages) == 8
+    assert zones["k"].pages[0].min == 0
+    assert zones["k"].pages[0].max == 1023
+    assert zones["k"].pages[-1].max == 8191
+
+
+def test_pruned_scan_exact(tmp_path):
+    path, table = _write_sorted(tmp_path)
+    # predicate selects only rows in pages 6..7
+    preds = [Comparison("k", "gt", 6000)]
+    dt = scan_file(path, predicates=preds)
+    k = np.asarray(dt["k"].values)
+    v = np.asarray(dt["v"].values)
+    # pages 5..7 survive (page 5 spans 5120..6143 and contains rows > 6000)
+    assert len(k) == 3072
+    sel = k > 6000
+    assert sel.sum() == 8191 - 6000
+    np.testing.assert_array_equal(v[sel], k[sel] * 3)
+
+
+def test_prune_none_matches(tmp_path):
+    path, _ = _write_sorted(tmp_path)
+    dt = scan_file(path, predicates=[Comparison("k", "gt", 10**9)])
+    assert len(dt["k"]) == 0
+
+
+def test_prune_eq(tmp_path):
+    path, _ = _write_sorted(tmp_path)
+    dt = scan_file(path, predicates=[Comparison("k", "eq", 5000)])
+    assert len(dt["k"]) == 1024  # single page
+    assert 5000 in np.asarray(dt["k"].values)
