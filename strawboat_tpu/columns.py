@@ -391,6 +391,14 @@ def from_arrow(arr: pa.Array) -> Column:
         keys = from_arrow(arr.keys)
         items = from_arrow(arr.items)
         return MapColumn(dtype, _arrow_validity(arr), off.copy(), keys, items)
+    if pa.types.is_decimal(dtype):
+        # i128/i256: (n, W) little-endian byte matrix (arrow buffer layout)
+        width = dtype.bit_width // 8
+        raw = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+        vals = raw[arr.offset * width : (arr.offset + len(arr)) * width]
+        return PrimitiveColumn(
+            dtype, _arrow_validity(arr), vals.reshape(len(arr), width).copy()
+        )
     # primitive numeric / temporal: store as the raw storage integer/float
     np_dtype = _np_storage_dtype(dtype)
     width = dtype.bit_width // 8

@@ -115,4 +115,8 @@ def _empty_column(field: pa.Field) -> Column:
     ):
         odt = np.int64 if (pa.types.is_large_string(dtype) or pa.types.is_large_binary(dtype)) else np.int32
         return BinaryColumn(dtype, None, np.zeros(1, dtype=odt), np.empty(0, np.uint8))
+    if pa.types.is_decimal(dtype):
+        return PrimitiveColumn(
+            dtype, None, np.empty((0, dtype.bit_width // 8), dtype=np.uint8)
+        )
     return PrimitiveColumn(dtype, None, np.empty(0, dtype=_np_storage_dtype(dtype)))

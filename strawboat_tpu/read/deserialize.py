@@ -95,6 +95,11 @@ def decode_leaf_values(
         odt = _leaf_odtype(dtype)
         offsets, values, pos = decompress_binary(buf, pos, length, odt)
         return BinaryColumn(dtype, None, offsets, values), pos
+    if pa.types.is_decimal(dtype):
+        from ..codecs.decimal import decompress_decimal
+
+        values, pos = decompress_decimal(buf, pos, length, dtype.bit_width // 8)
+        return PrimitiveColumn(dtype, None, values), pos
     np_dtype = _np_storage_dtype(dtype)
     if np_dtype.kind == "f":
         values, pos = decompress_double(buf, pos, length, np_dtype)

@@ -85,6 +85,12 @@ def _write_leaf_values(leaf: Column, options: WriteOptions) -> bytes:
     if isinstance(leaf, BinaryColumn):
         return compress_binary(leaf.offsets, leaf.values, leaf.validity, options)
     if isinstance(leaf, PrimitiveColumn):
+        if leaf.values.ndim == 2:  # decimal128/256 byte matrix
+            from ..codecs.decimal import compress_decimal
+
+            return compress_decimal(
+                leaf.values, leaf.validity, options, leaf.values.shape[1]
+            )
         if leaf.values.dtype.kind == "f":
             return compress_double(leaf.values, leaf.validity, options)
         return compress_integer(leaf.values, leaf.validity, options)
