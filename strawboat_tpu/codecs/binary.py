@@ -345,6 +345,9 @@ def compress_binary(
 ) -> bytes:
     stats = gen_stats(offsets, values, validity)
     codec = choose_compressor(stats, options)
+    from ..util.obs import log_codec_choice
+
+    log_codec_choice("binary", codec)
     out = bytearray()
     if codec.raw_mode:
         # block 1: zero-based offsets

@@ -152,6 +152,9 @@ def compress_boolean(
 ) -> bytes:
     stats = gen_stats(values, validity)
     codec = choose_compressor(stats, options)
+    from ..util.obs import log_codec_choice
+
+    log_codec_choice("boolean", codec)
     if codec.raw_mode:
         body = common.compress(codec, pack_bitmap(values))
     elif codec == Compression.RLE:

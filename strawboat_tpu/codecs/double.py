@@ -239,6 +239,9 @@ def compress_double(
 ) -> bytes:
     stats = gen_stats(values, validity)
     codec = choose_compressor(stats, options)
+    from ..util.obs import log_codec_choice
+
+    log_codec_choice("double", codec)
     if codec.raw_mode:
         body = common.compress(
             codec, values.astype(values.dtype.newbyteorder("<"), copy=False).tobytes()

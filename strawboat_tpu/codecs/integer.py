@@ -227,6 +227,9 @@ def compress_integer(
     """Frame + compress one integer page (reference integer/mod.rs:35-70)."""
     stats = gen_stats(values, validity)
     codec = choose_compressor(stats, options)
+    from ..util.obs import log_codec_choice
+
+    log_codec_choice("integer", codec)
     if codec.raw_mode:
         body = common.compress(codec, values.astype(values.dtype.newbyteorder("<"), copy=False).tobytes())
     else:
