@@ -113,7 +113,67 @@ def col(name: str) -> Expr:
         c = t[name]
         return c.values, c.validity
 
-    return Expr(f)
+    return ColExpr(f, name)
+
+
+@dataclass(frozen=True)
+class ColExpr(Expr):
+    """Column reference; translates string literals through the column's
+    device dictionary (codes) for eq/ne comparisons."""
+
+    name: str = ""
+
+    def _str_cmp(self, literal, negate: bool) -> "Expr":
+        def f(t):
+            c = t[self.name]
+            lit_val = literal.encode() if isinstance(literal, str) else literal
+            code = -1
+            if c.dictionary is not None:
+                import pyarrow as pa
+
+                d = c.dictionary.cast(pa.large_binary())
+                for i in range(len(d)):
+                    if d[i].as_py() == lit_val:
+                        code = i
+                        break
+            eq = jnp.equal(c.values, jnp.int32(code))
+            if code < 0:
+                eq = jnp.zeros(c.values.shape, dtype=jnp.bool_)
+            return (jnp.logical_not(eq) if negate else eq), c.validity
+
+        return Expr(f)
+
+    def __eq__(self, o):  # type: ignore[override]
+        if isinstance(o, (str, bytes)):
+            return self._str_cmp(o, negate=False)
+        return super().__eq__(o)
+
+    def __ne__(self, o):  # type: ignore[override]
+        if isinstance(o, (str, bytes)):
+            return self._str_cmp(o, negate=True)
+        return super().__ne__(o)
+
+    def isin(self, values) -> "Expr":
+        def f(t):
+            c = t[self.name]
+            if c.dictionary is not None:
+                import pyarrow as pa
+
+                lits = {
+                    v.encode() if isinstance(v, str) else v for v in values
+                }
+                d = c.dictionary.cast(pa.large_binary())
+                codes = [i for i in range(len(d)) if d[i].as_py() in lits]
+                m = jnp.zeros(c.values.shape, dtype=jnp.bool_)
+                for code in codes:
+                    m = jnp.logical_or(m, c.values == jnp.int32(code))
+                return m, c.validity
+            m = jnp.zeros(c.values.shape, dtype=jnp.bool_)
+            for v in values:
+                m = jnp.logical_or(m, c.values == v)
+            return m, c.validity
+
+        return Expr(f)
 
 
 def lit(value) -> Expr:

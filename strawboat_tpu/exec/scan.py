@@ -46,6 +46,9 @@ class DeviceColumn:
     dtype: pa.DataType
     values: jax.Array
     validity: Optional[jax.Array] = None  # bool, True = valid
+    # string/binary columns ride as dictionary codes on device; the
+    # dictionary itself stays host-side (pa.Array) for literal translation
+    dictionary: Optional[pa.Array] = None
 
     def __len__(self) -> int:
         return int(self.values.shape[0])
@@ -286,6 +289,73 @@ def decode_column_pages_device(
     return DeviceColumn(field.name, dtype, values, validity)
 
 
+def _decode_binary_column_device(
+    file_bytes: np.ndarray,
+    meta: ColumnMeta,
+    field: pa.Field,
+    keep: Optional[np.ndarray] = None,
+) -> DeviceColumn:
+    """Binary/utf8 column → dictionary codes on device + host dictionary.
+
+    Pages decode on host (string bytes are variable-length — codes are the
+    TPU-shaped representation); arrow's C++ ``dictionary_encode`` builds the
+    codes, which then live in HBM for filtering/grouping.
+    """
+    from ..codecs import decompress_binary
+
+    odt = np.int64 if (
+        pa.types.is_large_string(field.type) or pa.types.is_large_binary(field.type)
+    ) else np.int32
+    nullable = bool(field.nullable)
+    pos = meta.offset
+    page_arrays = []
+    vparts = []
+    for i, page in enumerate(meta.pages):
+        page_end = pos + page.length
+        if keep is not None and not keep[i]:
+            pos = page_end
+            continue
+        buf = file_bytes[pos:page_end]
+        p = 0
+        length = page.num_values
+        validity = None
+        if nullable:
+            validity, p = read_validity(buf, p, length)
+            vparts.append(
+                np.ones(length, dtype=bool) if validity is None else validity
+            )
+        offsets, values, _ = decompress_binary(buf, p, length, np.dtype(odt))
+        typ = pa.large_binary() if odt == np.int64 else pa.binary()
+        page_arrays.append(
+            pa.Array.from_buffers(
+                typ,
+                length,
+                [None, pa.py_buffer(np.ascontiguousarray(offsets).tobytes()),
+                 pa.py_buffer(np.ascontiguousarray(values).tobytes())],
+            )
+        )
+        pos = page_end
+    if not page_arrays:
+        return DeviceColumn(
+            field.name, field.type, jnp.zeros(0, jnp.int32), None, None
+        )
+    combined = (
+        pa.concat_arrays(page_arrays) if len(page_arrays) > 1 else page_arrays[0]
+    )
+    dict_enc = combined.dictionary_encode()
+    codes = dict_enc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+    validity = (
+        jnp.asarray(np.concatenate(vparts)) if (nullable and vparts) else None
+    )
+    return DeviceColumn(
+        field.name,
+        field.type,
+        jnp.asarray(codes),
+        validity,
+        dictionary=dict_enc.dictionary,
+    )
+
+
 def scan_file(
     path: str,
     columns: Optional[Sequence[str]] = None,
@@ -333,9 +403,10 @@ def scan_file(
             or pa.types.is_large_string(field.type)
             or pa.types.is_large_binary(field.type)
         ):
-            raise NotYetImplementedError(
-                f"device scan for binary column {field.name} (host path: api.read_table)"
-            )
+            col = _decode_binary_column_device(file_bytes, meta, field, keep)
+            out[field.name] = col
+            num_rows = len(col)
+            continue
         col = decode_column_pages_device(file_bytes, meta, field, keep)
         out[field.name] = col
         num_rows = len(col)

@@ -143,3 +143,33 @@ def test_hash_join(tmp_strawboat, tmp_path):
         (fact.column("v").to_numpy() * dim.column("w").to_numpy()[fact.column("k").to_numpy()]).sum()
     )
     assert got == exp
+
+
+def test_string_column_device_scan(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from strawboat_tpu.exec import col, scan_file
+    from strawboat_tpu.exec.aggregate import scalar_aggregate
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    names = [f"cat-{i%7}" if i % 9 else None for i in range(n)]
+    vals = rng.integers(0, 100, n).astype(np.int64)
+    table = pa.table({"name": pa.array(names), "v": pa.array(vals)})
+    path = str(tmp_path / "s.str")
+    write_file(path, table, options=_opts())
+    dt = scan_file(path)
+    assert dt["name"].dictionary is not None
+    mask = (col("name") == "cat-3").mask(dt)
+    exp = np.array([x == "cat-3" for x in names])
+    np.testing.assert_array_equal(np.asarray(mask), exp)
+    got = int(scalar_aggregate(dt["v"].values, mask, "sum"))
+    assert got == int(vals[exp].sum())
+    # isin + ne
+    m2 = col("name").isin(["cat-1", "cat-5"]).mask(dt)
+    exp2 = np.array([x in ("cat-1", "cat-5") for x in names])
+    np.testing.assert_array_equal(np.asarray(m2), exp2)
+    m3 = (col("name") != "cat-0").mask(dt)
+    exp3 = np.array([x is not None and x != "cat-0" for x in names])
+    np.testing.assert_array_equal(np.asarray(m3), exp3)
