@@ -120,11 +120,13 @@ def rle_expand_device(counts: jax.Array, values: jax.Array, total: int) -> jax.A
     counts: (n_runs,) int32 (padded runs have count 0); values: (n_runs,) T.
     """
     starts = jnp.cumsum(counts) - counts  # exclusive prefix
-    flags = jnp.zeros(total + 1, dtype=jnp.int32)
-    # runs with count 0 (padding) scatter outside [0, total)
+    # scatter each non-empty run's index at its start, then running max —
+    # robust to zero-count (padding) runs anywhere in the stream
     starts = jnp.where(counts > 0, starts, total)
-    flags = flags.at[starts].add(1)
-    ids = jnp.cumsum(flags[:total]) - 1
+    marks = jnp.zeros(total + 1, dtype=jnp.int32).at[starts].max(
+        jnp.arange(counts.shape[0], dtype=jnp.int32)
+    )
+    ids = jax.lax.cummax(marks[:total])
     return values[ids]
 
 

@@ -1,0 +1,87 @@
+"""Device-side encoder support: page stats + block bit-widths as reductions.
+
+SURVEY §7 step 3: the writer's hot loops are (1) stats over the page and
+(2) trial compression.  Both reduce to data-parallel reductions that run on
+device when the column is already HBM-resident (e.g. re-encoding after a
+shuffle): min/max/null-count, run counts via neighbor compares, per-block
+OR-reduce bit widths for bitpacking sizing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def stats_device(values: jax.Array, validity: Optional[jax.Array] = None):
+    """Returns dict of the FamilyStats scalars the codec chooser needs."""
+    n = values.shape[0]
+    if validity is None:
+        valid = jnp.ones((n,), jnp.bool_)
+    else:
+        valid = validity
+    vmin = jnp.min(values)
+    vmax = jnp.max(values)
+    null_count = n - jnp.sum(valid.astype(jnp.int32))
+    # run/sortedness over valid values, seeded with 0 (reference semantics)
+    prev_val = jnp.concatenate([jnp.zeros((1,), values.dtype), values[:-1]])
+    # carry last valid value forward: approximate with direct neighbor when
+    # dense; exact computation uses segment trick
+    idx = jnp.arange(n)
+    last_valid_idx = jnp.maximum.accumulate(jnp.where(valid, idx, -1))
+    prev_valid_idx = jnp.concatenate([jnp.full((1,), -1), last_valid_idx[:-1]])
+    prev_valid_val = jnp.where(
+        prev_valid_idx >= 0, values[jnp.clip(prev_valid_idx, 0, n - 1)], 0
+    )
+    changed = valid & (values != prev_valid_val)
+    run_count = jnp.sum(changed.astype(jnp.int32))
+    descending = valid & (values < prev_valid_val)
+    is_sorted = jnp.sum(descending.astype(jnp.int32)) == 0
+    return {
+        "min": vmin,
+        "max": vmax,
+        "null_count": null_count,
+        "run_count": run_count,
+        "is_sorted": is_sorted,
+        "set_count": n - null_count,
+    }
+
+
+@jax.jit
+def block_bit_widths(values_u32: jax.Array) -> jax.Array:
+    """Per-128-block bit width (OR-reduce + bit length), for bitpack sizing.
+
+    values_u32: (n_blocks * 128,) uint32 → (n_blocks,) int32 widths.
+    """
+    blocks = values_u32.reshape(-1, 128)
+    acc = jax.lax.reduce_or(blocks, axes=(1,))
+    # bit length of acc: 32 - clz
+    clz = jnp.where(acc == 0, jnp.int32(32), jax.lax.clz(acc).astype(jnp.int32))
+    return jnp.int32(32) - clz
+
+
+@jax.jit
+def bitpacked_size_bytes(values_u32: jax.Array) -> jax.Array:
+    """Exact encoded size of a bitpacked page (header byte + 16b per block)."""
+    widths = block_bit_widths(values_u32)
+    return jnp.sum(widths * 16 + 1)
+
+
+@jax.jit
+def distinct_estimate(values: jax.Array, num_buckets: int = 4096) -> jax.Array:
+    """HyperLogLog-lite distinct estimate via hashed bucket occupancy."""
+    h = values.astype(jnp.uint64)
+    h = (h ^ (h >> 30)) * jnp.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> 27)) * jnp.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> 31)
+    buckets = (h % jnp.uint64(num_buckets)).astype(jnp.int32)
+    occ = jnp.zeros((num_buckets,), jnp.int32).at[buckets].max(1)
+    m = jnp.float32(num_buckets)
+    occupied = jnp.sum(occ).astype(jnp.float32)
+    # linear counting estimator
+    frac = jnp.clip((m - occupied) / m, 1e-9, 1.0)
+    return (-m * jnp.log(frac)).astype(jnp.int32)
