@@ -356,6 +356,66 @@ def _decode_binary_column_device(
     )
 
 
+@dataclass
+class DeviceListColumn(DeviceColumn):
+    """list<numeric> on device: flattened child values + row offsets."""
+
+    offsets: Optional[jax.Array] = None  # (n_rows + 1,) int32
+    child_validity: Optional[jax.Array] = None  # per flattened value
+
+    def __len__(self) -> int:
+        return int(self.offsets.shape[0]) - 1 if self.offsets is not None else 0
+
+
+def _flatten_nested_device(name: str, col) -> list:
+    """Host nested column → flat device columns.
+
+    struct fields unnest to ``parent.child`` columns; list<numeric> becomes a
+    DeviceListColumn (offsets + flat child values); anything deeper stays on
+    host (returned empty).
+    """
+    from ..columns import ListColumn, PrimitiveColumn, StructColumn
+
+    out = []
+    if isinstance(col, StructColumn):
+        for child, f in zip(col.children, col.dtype):
+            out.extend(_flatten_nested_device(f"{name}.{f.name}", child))
+        return out
+    if isinstance(col, ListColumn) and isinstance(col.child, PrimitiveColumn):
+        child = col.child
+        offs = col.offsets.astype(np.int32)
+        window = child.slice(int(offs[0]), int(offs[-1] - offs[0]))
+        validity = (
+            jnp.asarray(col.validity) if col.validity is not None else None
+        )
+        cvalid = (
+            jnp.asarray(window.validity) if window.validity is not None else None
+        )
+        out.append(
+            DeviceListColumn(
+                name,
+                col.dtype,
+                jnp.asarray(window.values),
+                validity,
+                None,
+                offsets=jnp.asarray(offs - offs[0]),
+                child_validity=cvalid,
+            )
+        )
+        return out
+    if isinstance(col, PrimitiveColumn) and col.values.ndim == 1:
+        out.append(
+            DeviceColumn(
+                name,
+                col.dtype,
+                jnp.asarray(col.values),
+                jnp.asarray(col.validity) if col.validity is not None else None,
+            )
+        )
+        return out
+    return out
+
+
 def scan_file(
     path: str,
     columns: Optional[Sequence[str]] = None,
@@ -394,9 +454,18 @@ def scan_file(
         if columns is not None and field.name not in columns:
             continue
         if not is_primitive(field.type) or pa.types.is_null(field.type):
-            raise NotYetImplementedError(
-                f"device scan for nested column {field.name}"
-            )
+            # nested columns: host-decode then flatten to device representation
+            # (list<numeric> → offsets + flat child; struct → dotted children)
+            from ..read.batch_read import batch_read_column
+            from ..read.reader import open_readers
+
+            readers = open_readers(path, metas[i - n : i])
+            host_col = batch_read_column(readers, field)
+            for r in readers:
+                r.page_reader.close()
+            for dc in _flatten_nested_device(field.name, host_col):
+                out[dc.name] = dc
+            continue
         if (
             pa.types.is_string(field.type)
             or pa.types.is_binary(field.type)

@@ -173,3 +173,38 @@ def test_string_column_device_scan(tmp_path):
     m3 = (col("name") != "cat-0").mask(dt)
     exp3 = np.array([x is not None and x != "cat-0" for x in names])
     np.testing.assert_array_equal(np.asarray(m3), exp3)
+
+
+def test_nested_column_device_scan(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from strawboat_tpu.exec import scan_file
+    from strawboat_tpu.exec.scan import DeviceListColumn
+
+    n = 2000
+    table = pa.table(
+        {
+            "l": pa.array(
+                [[i, i + 1] if i % 3 else None for i in range(n)],
+                type=pa.list_(pa.int64()),
+            ),
+            "s": pa.array(
+                [{"a": i, "b": float(i) * 0.5} for i in range(n)],
+                type=pa.struct([("a", pa.int64()), ("b", pa.float64())]),
+            ),
+        }
+    )
+    path = str(tmp_path / "n.str")
+    write_file(path, table, options=_opts())
+    dt = scan_file(path)
+    lc = dt["l"]
+    assert isinstance(lc, DeviceListColumn)
+    assert len(lc) == n
+    offs = np.asarray(lc.offsets)
+    vals = np.asarray(lc.values)
+    exp = [x for i in range(n) if i % 3 for x in (i, i + 1)]
+    np.testing.assert_array_equal(vals, exp)
+    # struct unnested to dotted columns
+    np.testing.assert_array_equal(np.asarray(dt["s.a"].values), np.arange(n))
+    np.testing.assert_allclose(np.asarray(dt["s.b"].values), np.arange(n) * 0.5)
