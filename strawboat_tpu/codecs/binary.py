@@ -262,20 +262,18 @@ def freq_decode(
     lens[positions] = exc_lens
     offsets = np.zeros(length + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
-    out_vals = np.empty(int(offsets[-1]), dtype=np.uint8)
     top_arr = np.frombuffer(top, dtype=np.uint8)
     exc_data = np.concatenate(exc_parts) if exc_parts else np.empty(0, np.uint8)
     exc_offs = np.zeros(len(positions) + 1, dtype=np.int64)
     np.cumsum(exc_lens, out=exc_offs[1:])
-    # fill top values then scatter exceptions
-    j = 0
-    for i in range(length):
-        s = int(offsets[i])
-        if is_exc[i]:
-            out_vals[s : s + exc_lens[j]] = exc_data[exc_offs[j] : exc_offs[j + 1]]
-            j += 1
-        else:
-            out_vals[s : s + len(top_arr)] = top_arr
+    total = int(offsets[-1])
+    # vectorized assembly: per-byte source indices into a [top | exc] pool
+    pool = np.concatenate([top_arr, exc_data])
+    src_start = np.zeros(length, dtype=np.int64)  # top rows read pool[0:]
+    src_start[positions] = len(top_arr) + exc_offs[:-1]
+    base = np.repeat(src_start - offsets[:-1], lens)
+    idx = base + np.arange(total, dtype=np.int64)
+    out_vals = pool[idx] if total else np.empty(0, np.uint8)
     return offsets.astype(odtype), out_vals, pos
 
 

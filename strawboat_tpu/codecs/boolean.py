@@ -71,18 +71,19 @@ def rle_bool_encode(values: np.ndarray, validity: Optional[np.ndarray]) -> bytes
 
 
 def rle_bool_decode(buf, pos: int, length: int) -> Tuple[np.ndarray, int]:
-    out = np.empty(length, dtype=bool)
-    filled = 0
-    while filled < length:
-        if pos + 5 > len(buf):
-            raise OutOfSpecError("boolean RLE truncated")
-        ln = int(np.frombuffer(buf, "<u4", 1, pos)[0])
-        val = buf[pos + 4] != 0
-        pos += 5
-        take = min(ln, length - filled)
-        out[filled : filled + take] = val
-        filled += take
-    return out, pos
+    if length == 0:
+        return np.empty(0, dtype=bool), pos
+    rec = np.dtype(
+        {"names": ["len", "val"], "formats": ["<u4", "u1"], "offsets": [0, 4], "itemsize": 5}
+    )
+    avail = (len(buf) - pos) // 5
+    recs = np.frombuffer(buf, dtype=rec, count=avail, offset=pos)
+    cum = np.cumsum(recs["len"].astype(np.int64))
+    k = int(np.searchsorted(cum, length, side="left")) + 1
+    if k > avail or (k > 0 and cum[k - 1] < length):
+        raise OutOfSpecError("boolean RLE truncated")
+    out = np.repeat(recs["val"][:k] != 0, recs["len"][:k].astype(np.int64))[:length]
+    return out, pos + k * 5
 
 
 def one_value_encode(values: np.ndarray, validity: Optional[np.ndarray]) -> bytes:

@@ -44,28 +44,68 @@ def bitpack_encode(values: np.ndarray) -> bytes:
     v = values.view(np.uint32) if values.dtype != np.uint32 else values
     if len(v) % BLOCK_LEN != 0:
         raise OutOfSpecError("bitpacking requires len % 128 == 0")
-    out = bytearray()
-    for blk in v.reshape(-1, BLOCK_LEN):
-        nb = num_bits_u32(blk)
-        out.append(nb)
-        out += pack_block128(blk, nb)
-    return bytes(out)
+    blocks = v.reshape(-1, BLOCK_LEN)
+    return _encode_blocks(blocks, blocks)
+
+
+def _encode_blocks(payload_blocks: np.ndarray, width_blocks: np.ndarray) -> bytes:
+    """Grouped-by-width vectorized block encoder ([u8 nb][packed] per block)."""
+    from ..util.bits import pack_blocks
+
+    n_blocks = payload_blocks.shape[0]
+    nbs = np.zeros(n_blocks, dtype=np.int64)
+    acc = np.bitwise_or.reduce(width_blocks, axis=1)
+    nz = acc != 0
+    nbs[nz] = np.floor(np.log2(acc[nz].astype(np.float64))).astype(np.int64) + 1
+    # float log2 is exact for < 2^53; fix up boundary just in case
+    for i in np.flatnonzero(nbs > 32):
+        nbs[i] = int(acc[i]).bit_length()
+    sizes = 1 + nbs * 16
+    offsets = np.zeros(n_blocks + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    out = np.empty(int(offsets[-1]), dtype=np.uint8)
+    out[offsets[:-1]] = nbs
+    for nb in np.unique(nbs):
+        nb = int(nb)
+        if nb == 0:
+            continue
+        sel = np.flatnonzero(nbs == nb)
+        packed = pack_blocks(payload_blocks[sel], nb).view(np.uint8).reshape(
+            len(sel), nb * 16
+        )
+        idx = offsets[sel][:, None] + 1 + np.arange(nb * 16)
+        out[idx] = packed
+    return out.tobytes()
 
 
 def bitpack_decode(buf, pos: int, length: int, dtype: np.dtype) -> Tuple[np.ndarray, int]:
     n_blocks = (length + BLOCK_LEN - 1) // BLOCK_LEN
-    out = np.empty(n_blocks * BLOCK_LEN, dtype=np.uint32)
+    # parse block headers, then batch-decode groups of equal width
+    nbs = np.empty(n_blocks, dtype=np.int64)
+    offs = np.empty(n_blocks, dtype=np.int64)
+    p = pos
     for b in range(n_blocks):
-        if pos >= len(buf):
+        if p >= len(buf):
             raise OutOfSpecError("bitpacked page truncated")
-        nb = int(buf[pos])
-        pos += 1
-        nbytes = nb * 16
-        out[b * BLOCK_LEN : (b + 1) * BLOCK_LEN] = unpack_block128(
-            np.frombuffer(buf, dtype=np.uint8, count=nbytes, offset=pos), nb
-        )
-        pos += nbytes
-    return out[:length].view(dtype), pos
+        nbs[b] = int(buf[p])
+        offs[b] = p + 1
+        p += 1 + int(buf[p]) * 16
+    out = np.empty((n_blocks, BLOCK_LEN), dtype=np.uint32)
+    from ..util.bits import unpack_blocks
+
+    for nb in np.unique(nbs):
+        nb = int(nb)
+        sel = np.flatnonzero(nbs == nb)
+        if nb == 0:
+            out[sel] = 0
+            continue
+        words = np.empty((len(sel), nb * 4), dtype=np.uint32)
+        for j, bi in enumerate(sel):
+            words[j] = np.frombuffer(buf, np.uint8, nb * 16, int(offs[bi])).view(
+                np.uint32
+            )
+        out[sel] = unpack_blocks(words, nb)
+    return out.reshape(-1)[:length].view(dtype), p
 
 
 # ---------------------------------------------------------------------------
@@ -76,31 +116,18 @@ def delta_bitpack_encode(values: np.ndarray) -> bytes:
     v = values.view(np.uint32) if values.dtype != np.uint32 else values
     if len(v) % BLOCK_LEN != 0:
         raise OutOfSpecError("delta bitpacking requires len % 128 == 0")
+    # num_bits is computed on the RAW values (delta_bp.rs:52); the packed
+    # payload is the sequential deltas.
     deltas = np.diff(v, prepend=np.uint32(0)).astype(np.uint32)
-    out = bytearray()
-    for i in range(0, len(v), BLOCK_LEN):
-        raw_blk = v[i : i + BLOCK_LEN]
-        # num_bits is computed on the RAW values (delta_bp.rs:52), the packed
-        # payload is the sequential deltas.
-        nb = num_bits_u32(raw_blk)
-        out.append(nb)
-        out += pack_block128(deltas[i : i + BLOCK_LEN], nb)
-    return bytes(out)
+    return _encode_blocks(
+        deltas.reshape(-1, BLOCK_LEN), v.reshape(-1, BLOCK_LEN)
+    )
 
 
 def delta_bitpack_decode(buf, pos: int, length: int, dtype: np.dtype) -> Tuple[np.ndarray, int]:
-    n_blocks = (length + BLOCK_LEN - 1) // BLOCK_LEN
-    deltas = np.empty(n_blocks * BLOCK_LEN, dtype=np.uint32)
-    for b in range(n_blocks):
-        nb = int(buf[pos])
-        pos += 1
-        nbytes = nb * 16
-        deltas[b * BLOCK_LEN : (b + 1) * BLOCK_LEN] = unpack_block128(
-            np.frombuffer(buf, dtype=np.uint8, count=nbytes, offset=pos), nb
-        )
-        pos += nbytes
+    deltas, pos = bitpack_decode(buf, pos, length, np.dtype(np.uint32))
     out = np.cumsum(deltas, dtype=np.uint32)
-    return out[:length].view(dtype), pos
+    return out.view(dtype), pos
 
 
 def _bp_eligible(stats: FamilyStats) -> bool:

@@ -64,6 +64,47 @@ def unpack_block128(data: bytes | np.ndarray, num_bits: int) -> np.ndarray:
     return lanes.T.reshape(-1).copy()
 
 
+def unpack_blocks(words: np.ndarray, num_bits: int) -> np.ndarray:
+    """Vectorized unpack of N same-width blocks: (n, num_bits*4) u32 → (n, 128).
+
+    Word-level shift algorithm (same as the device kernel): value ``t`` of a
+    lane spans at most two of that lane's words.
+    """
+    n = words.shape[0]
+    b = num_bits
+    if b == 0:
+        return np.zeros((n, BLOCK_LEN), dtype=np.uint32)
+    lanes = words.reshape(n, b, _LANES)
+    mask = np.uint32((1 << b) - 1) if b < 32 else np.uint32(0xFFFFFFFF)
+    out = np.empty((n, _PER_LANE, _LANES), dtype=np.uint32)
+    for t in range(_PER_LANE):
+        s = t * b
+        w0, sh = s // 32, s % 32
+        v = lanes[:, w0, :] >> np.uint32(sh)
+        if sh + b > 32:
+            v = v | (lanes[:, w0 + 1, :] << np.uint32(32 - sh))
+        out[:, t, :] = v & mask
+    return out.reshape(n, BLOCK_LEN)
+
+
+def pack_blocks(values: np.ndarray, num_bits: int) -> np.ndarray:
+    """Vectorized pack of N blocks: (n, 128) u32 → (n, num_bits*4) u32 words."""
+    n = values.shape[0]
+    b = num_bits
+    if b == 0:
+        return np.zeros((n, 0), dtype=np.uint32)
+    v = values.reshape(n, _PER_LANE, _LANES)
+    words = np.zeros((n, b, _LANES), dtype=np.uint32)
+    for t in range(_PER_LANE):
+        s = t * b
+        w0, sh = s // 32, s % 32
+        vt = v[:, t, :]
+        words[:, w0, :] |= (vt << np.uint32(sh)) if sh else vt
+        if sh + b > 32:
+            words[:, w0 + 1, :] |= vt >> np.uint32(32 - sh)
+    return words.reshape(n, b * _LANES)
+
+
 def pack_bitmap(bools: np.ndarray) -> bytes:
     """Pack booleans into LSB-first bytes (arrow bitmap layout)."""
     return np.packbits(bools.astype(np.uint8), bitorder="little").tobytes()
