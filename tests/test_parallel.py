@@ -84,3 +84,46 @@ def test_skew_salting_spreads_hot_key(mesh):
     parts_salted = hash_partition_ids(key, 8, salt=8)
     assert len(np.unique(np.asarray(parts_plain))) == 1
     assert len(np.unique(np.asarray(parts_salted))) == 8
+
+
+def test_distributed_scan_aggregate_end_to_end(mesh, tmp_path):
+    """Config-5 shape: partitioned file scan → shuffle → distributed agg."""
+    import pyarrow as pa
+
+    from strawboat_tpu.api import write_file
+    from strawboat_tpu.codecs import WriteOptions
+    from strawboat_tpu.constants import Compression
+    from strawboat_tpu.parallel.dist_scan import distributed_scan
+
+    rng = np.random.default_rng(4)
+    n = 8 * 1500
+    key = rng.integers(0, 30, n).astype(np.int64)
+    val = rng.integers(0, 10**6, n).astype(np.int64)
+    table = pa.table({"k": pa.array(key), "v": pa.array(val)})
+    path = str(tmp_path / "dist.str")
+    write_file(
+        path,
+        table,
+        options=WriteOptions(
+            default_compression=Compression.LZ4,
+            default_compress_ratio=1.0,
+            max_page_size=512,
+        ),
+    )
+    dt = distributed_scan(path, mesh)
+    res = distributed_aggregate(
+        mesh,
+        "shards",
+        dt["k"].values,
+        {"total": ("sum", dt["v"].values)},
+        mask=dt["__valid__"].values,
+        num_groups=128,
+    )
+    got = {}
+    for kk, t, ok in zip(
+        np.asarray(res["keys"]), np.asarray(res["total"]), np.asarray(res["valid"])
+    ):
+        if ok:
+            got[int(kk)] = int(t)
+    exp = {int(k): int(val[key == k].sum()) for k in np.unique(key)}
+    assert got == exp

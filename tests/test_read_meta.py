@@ -81,3 +81,30 @@ def test_meta_slicing(tmp_strawboat):
     assert s.pages == m.pages[1:]
     assert m.skip_one_page() == s
     assert m.total_len() == sum(p.length for p in m.pages)
+
+
+def test_page_iterator_nth_and_skip(tmp_strawboat):
+    """Page skipping seeks without reading (reference reader.rs:91-147)."""
+    import numpy as np
+
+    from strawboat_tpu.read.deserialize import decode_simple_page
+    from strawboat_tpu.read.reader import open_readers
+
+    table, metas = _write(tmp_strawboat)
+    field = table.schema.field(0)
+    # nth(2): skip pages 0-1, read page 2
+    readers = open_readers(tmp_strawboat, metas[:1])
+    nv, buf = readers[0].nth(2)
+    col = decode_simple_page(field, int(nv), buf)
+    start = 2 * 1024
+    exp = table.column(0).to_pylist()[start : start + int(nv)]
+    assert col.to_arrow().to_pylist() == exp
+    # skip_page then next
+    readers2 = open_readers(tmp_strawboat, metas[:1])
+    readers2[0].skip_page()
+    nv2, buf2 = next(readers2[0])
+    col2 = decode_simple_page(field, int(nv2), buf2)
+    exp2 = table.column(0).to_pylist()[1024 : 1024 + int(nv2)]
+    assert col2.to_arrow().to_pylist() == exp2
+    for r in readers + readers2:
+        r.page_reader.close()
