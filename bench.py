@@ -37,6 +37,7 @@ def main() -> int:
         bitunpack_pallas_tmajor,
         transpose_words_host,
     )
+    from strawboat_tpu.kernels.decode import bitunpack_flat_device
 
     b = 16
     n_blocks = 1 << 17  # 16.7M values; in 32 MB, out 64 MB
@@ -48,12 +49,30 @@ def main() -> int:
     in_bytes = wt.size * 4
     out_bytes = n_blocks * 128 * 4
 
+    # pallas kernel preferred; XLA flat-unpack fallback if Mosaic fails
+    def decode_pallas(w):
+        return bitunpack_pallas_tmajor(w, b)
+
+    words_flat = jnp.asarray(words)
+
+    def decode_xla(w):
+        return bitunpack_flat_device(w, b)
+
+    try:
+        _probe = decode_pallas(wt)
+        _probe.block_until_ready()
+        decode, arg = decode_pallas, wt
+    except Exception:
+        decode, arg = decode_xla, words_flat
+        in_bytes = words_flat.size * 4
+    wt = arg
+
     @jax.jit
     def run(wt, n):
         def body(i, carry):
             w, acc = carry
             w = w ^ (acc & jnp.uint32(1))  # forces a fresh decode per iter
-            out = bitunpack_pallas_tmajor(w, b)
+            out = decode(w)
             return (w, acc + jnp.sum(out, dtype=jnp.uint32))
 
         _, acc = jax.lax.fori_loop(0, n, body, (wt, jnp.uint32(0)))

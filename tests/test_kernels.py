@@ -99,3 +99,36 @@ def test_bitpacked_size_matches_encoder():
     assert host == dev
     widths = np.asarray(block_bit_widths(jnp.asarray(vals)))
     assert widths.shape == (16,)
+
+
+def test_bitunpack_pallas_interpret():
+    """Pallas kernel logic via the interpreter (real-TPU compile covered by bench)."""
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    with mock.patch.object(pl, "pallas_call", patched):
+        import importlib
+
+        from strawboat_tpu.kernels import bitunpack_pallas as m
+
+        importlib.reload(m)
+        rng = np.random.default_rng(0)
+        for b in (1, 13, 16, 32):
+            n_blocks = 256
+            vals = rng.integers(
+                0, 1 << b if b < 32 else 1 << 32, (n_blocks, 128), dtype=np.uint64
+            ).astype(np.uint32)
+            packed = b"".join(pack_block128(v, b) for v in vals)
+            wt = m.transpose_words_host(np.frombuffer(packed, np.uint32), b)
+            got = np.asarray(m.bitunpack_pallas(jnp.asarray(wt), b))[
+                : n_blocks * 128
+            ].reshape(n_blocks, 128)
+            np.testing.assert_array_equal(got, vals, err_msg=str(b))
+    importlib.reload(m)
