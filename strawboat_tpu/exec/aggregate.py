@@ -77,9 +77,14 @@ def grouped_aggregate(
             v = jnp.where(mask[order], v, 0)
         outs.append(_AGG_FNS[fn_name](v, seg_ids, num_segments=num_groups))
     first_idx = jnp.cumsum(new_seg) - 1
-    uniq_keys = jnp.zeros((num_groups,), jnp.uint64).at[
-        jnp.clip(first_idx, 0, num_groups - 1)
-    ].max(skey)
+    first_idx = jnp.clip(first_idx, 0, num_groups - 1)
+    if mask is not None:
+        # masked rows must not clobber the last real group's key slot
+        first_idx = jnp.where(mask[order], first_idx, num_groups - 1)
+        skey_w = jnp.where(mask[order], skey, jnp.uint64(0))
+    else:
+        skey_w = skey
+    uniq_keys = jnp.zeros((num_groups,), jnp.uint64).at[first_idx].max(skey_w)
     n_groups = jnp.sum(new_seg)
     # per-group representative row (for key column reconstruction)
     rep_rows = jnp.zeros((num_groups,), jnp.int32).at[

@@ -14,21 +14,47 @@ import jax
 import jax.numpy as jnp
 
 
+_OP_NAMES = {
+    "greater": "gt",
+    "greater_equal": "ge",
+    "less": "lt",
+    "less_equal": "le",
+    "equal": "eq",
+    "not_equal": "ne",
+}
+
+
 @dataclass(frozen=True)
 class Expr:
     # evaluate → (values, validity|None)
     fn: Callable[[Any], Tuple[jax.Array, Optional[jax.Array]]]
+    # prunable conjunctive atoms (column-vs-literal comparisons); only sound
+    # under AND composition — OR/NOT clear them
+    atoms: tuple = ()
 
     def _bin(self, other: "Expr", op) -> "Expr":
-        other = _as_expr(other)
+        other_e = _as_expr(other)
 
         def f(t):
             va, ma = self.fn(t)
-            vb, mb = other.fn(t)
+            vb, mb = other_e.fn(t)
             m = _and_mask(ma, mb)
             return op(va, vb), m
 
-        return Expr(f)
+        atoms = ()
+        opname = _OP_NAMES.get(getattr(op, "__name__", ""), None)
+        if (
+            opname
+            and isinstance(self, ColExpr)
+            and not isinstance(other, Expr)
+            and isinstance(other, (int, float))
+        ):
+            from .pruning import Comparison
+
+            atoms = (Comparison(self.name, opname, float(other)),)
+        if op is jnp.logical_and:
+            atoms = self.atoms + other_e.atoms
+        return Expr(f, atoms)
 
     def __gt__(self, o):
         return self._bin(o, jnp.greater)
@@ -113,7 +139,7 @@ def col(name: str) -> Expr:
         c = t[name]
         return c.values, c.validity
 
-    return ColExpr(f, name)
+    return ColExpr(f, name=name)
 
 
 @dataclass(frozen=True)

@@ -208,3 +208,50 @@ def test_nested_column_device_scan(tmp_path):
     # struct unnested to dotted columns
     np.testing.assert_array_equal(np.asarray(dt["s.a"].values), np.arange(n))
     np.testing.assert_allclose(np.asarray(dt["s.b"].values), np.arange(n) * 0.5)
+
+
+def test_query_api(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from strawboat_tpu.exec import col
+    from strawboat_tpu.exec.query import Query
+
+    rng = np.random.default_rng(21)
+    n = 8192
+    k = rng.integers(0, 5, n).astype(np.int64)
+    v = rng.integers(0, 1000, n).astype(np.int64)
+    d = np.sort(rng.integers(0, 1000, n)).astype(np.int64)
+    table = pa.table({"k": pa.array(k), "v": pa.array(v), "d": pa.array(d)})
+    path = str(tmp_path / "q.str")
+    write_file(path, table, options=_opts(zone_maps=True))
+
+    pred = (col("d") >= 300) & (col("d") < 600)
+    assert len(pred.atoms) == 2  # auto-extracted pruning atoms
+
+    res = (
+        Query(path)
+        .filter(pred)
+        .group_by("k", num_groups=32)
+        .agg(total=("sum", "v"), cnt=("count", "v"))
+        .run()
+    )
+    sel = (d >= 300) & (d < 600)
+    n_groups = int(res["n_groups"])
+    got = {
+        int(kk): (int(t), int(c))
+        for kk, t, c in zip(
+            np.asarray(res["keys"])[:n_groups],
+            np.asarray(res["total"])[:n_groups],
+            np.asarray(res["cnt"])[:n_groups],
+        )
+    }
+    exp = {
+        int(kk): (int(v[sel & (k == kk)].sum()), int((sel & (k == kk)).sum()))
+        for kk in np.unique(k[sel])
+    }
+    assert got == exp
+
+    # ungrouped
+    res2 = Query(path).filter(pred).agg(s=("sum", "v")).run()
+    assert int(res2["s"]) == int(v[sel].sum())
