@@ -62,6 +62,41 @@ class DeviceTable:
     def __getitem__(self, name: str) -> DeviceColumn:
         return self.columns[name]
 
+    def to_arrow(self, mask=None) -> "pa.Table":
+        """Materialize (optionally mask-compacted) columns to a host table."""
+        sel = None if mask is None else np.flatnonzero(np.asarray(mask))
+        arrays = []
+        names = []
+        for name, c in self.columns.items():
+            if getattr(c, "offsets", None) is not None:
+                continue  # list columns: flattened repr, skip in tabular export
+            vals = np.asarray(c.values)
+            validity = None if c.validity is None else np.asarray(c.validity)
+            if sel is not None:
+                vals = vals[sel]
+                validity = None if validity is None else validity[sel]
+            if c.dictionary is not None:
+                arr = c.dictionary.take(
+                    pa.array(
+                        vals,
+                        mask=None if validity is None else ~validity,
+                    )
+                )
+                if c.dtype is not None and arr.type != c.dtype:
+                    arr = arr.cast(c.dtype)
+            else:
+                arr = pa.array(
+                    vals, mask=None if validity is None else ~validity
+                )
+                if c.dtype is not None and not pa.types.is_boolean(c.dtype) and arr.type != c.dtype:
+                    try:
+                        arr = arr.cast(c.dtype)
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                        pass
+            arrays.append(arr)
+            names.append(name)
+        return pa.table(dict(zip(names, arrays)))
+
 
 @dataclass
 class PageStats:
@@ -267,10 +302,8 @@ def decode_column_pages_device(
                 else jnp.asarray(validity)
             )
         if pa.types.is_boolean(dtype):
-            from ..codecs import decompress_boolean
-
-            host_vals, _ = decompress_boolean(buf, p, length)
-            parts.append(jnp.asarray(host_vals))
+            vals = _decode_boolean_page_device(buf, p, length)
+            parts.append(vals)
         elif idx in raw_results:
             parts.append(jnp.asarray(raw_results[idx]))
         else:
@@ -287,6 +320,22 @@ def decode_column_pages_device(
         else None
     )
     return DeviceColumn(field.name, dtype, values, validity)
+
+
+def _decode_boolean_page_device(buf: np.ndarray, pos: int, length: int) -> jax.Array:
+    """Boolean page: raw bitmap bytes expand on device; RLE/OneValue on host."""
+    codec, csize, _us, body = read_header(buf, pos)
+    if codec.raw_mode:
+        raw = common_codec.decompress(
+            codec, bytes(buf[body : body + csize]), (length + 7) // 8
+        )
+        return unpack_validity_device(
+            jnp.asarray(np.frombuffer(raw, np.uint8)), length
+        )
+    from ..codecs import decompress_boolean
+
+    host_vals, _ = decompress_boolean(buf, pos, length)
+    return jnp.asarray(host_vals)
 
 
 def _decode_binary_column_device(

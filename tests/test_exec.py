@@ -255,3 +255,32 @@ def test_query_api(tmp_path):
     # ungrouped
     res2 = Query(path).filter(pred).agg(s=("sum", "v")).run()
     assert int(res2["s"]) == int(v[sel].sum())
+
+
+def test_device_table_to_arrow(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from strawboat_tpu.exec import col, scan_file
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    table = pa.table(
+        {
+            "a": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+            "s": pa.array([f"v{i%4}" if i % 7 else None for i in range(n)]),
+            "b": pa.array(rng.random(n) > 0.5),
+        }
+    )
+    path = str(tmp_path / "m.str")
+    write_file(path, table, options=_opts())
+    dt = scan_file(path)
+    mask = (col("a") > 50).mask(dt)
+    got = dt.to_arrow(mask)
+    sel = table.column("a").to_numpy() > 50
+    exp_a = table.column("a").to_numpy()[sel]
+    np.testing.assert_array_equal(got.column("a").to_numpy(), exp_a)
+    exp_s = [s for s, m in zip(table.column("s").to_pylist(), sel) if m]
+    assert got.column("s").to_pylist() == exp_s
+    exp_b = table.column("b").to_numpy()[sel]
+    np.testing.assert_array_equal(got.column("b").to_numpy(zero_copy_only=False), exp_b)
