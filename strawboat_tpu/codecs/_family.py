@@ -56,14 +56,20 @@ class FamilyStats:
     is_sorted: bool
     min: float
     max: float
-    unique_values: np.ndarray  # distinct over ALL positions (incl. null slots)
-    unique_counts: np.ndarray
-    unique_count: int
+    unique_count: int  # distinct over ALL positions (incl. null slots)
+    top_value: object  # most frequent value (ties arbitrary)
+    max_count: int
     set_count: int
 
 
 def gen_stats(values: np.ndarray, validity: Optional[np.ndarray]) -> FamilyStats:
     n = len(values)
+    if n > 65536 and values.dtype.kind in "iu":
+        from .. import native
+
+        fast = native.int_stats_native(values, validity)
+        if fast is not None:
+            return fast
     null_count = 0 if validity is None else int(n - np.count_nonzero(validity))
     valid_vals = values if validity is None else values[validity]
     # run/sortedness over valid values, seeded with T::default() == 0
@@ -79,6 +85,11 @@ def gen_stats(values: np.ndarray, validity: Optional[np.ndarray]) -> FamilyStats
         run_count = 0
         is_sorted = True
     uniq, counts = np.unique(values, return_counts=True)
+    if len(counts):
+        ti = int(np.argmax(counts))
+        top_value, max_count = uniq[ti], int(counts[ti])
+    else:
+        top_value, max_count = 0, 0
     vmin = values.min() if n else 0
     vmax = values.max() if n else 0
     return FamilyStats(
@@ -91,9 +102,9 @@ def gen_stats(values: np.ndarray, validity: Optional[np.ndarray]) -> FamilyStats
         is_sorted=is_sorted,
         min=vmin,
         max=vmax,
-        unique_values=uniq,
-        unique_counts=counts,
         unique_count=len(uniq),
+        top_value=top_value,
+        max_count=max_count,
         set_count=n - null_count,
     )
 
@@ -287,8 +298,7 @@ def freq_top_value(stats: FamilyStats) -> Tuple[bool, np.generic, int]:
     """(top_is_null, top_value, max_count)."""
     if stats.tuple_count and stats.null_count / stats.tuple_count >= 0.9:
         return True, np.zeros(1, dtype=stats.values.dtype)[0], 0
-    i = int(np.argmax(stats.unique_counts))
-    return False, stats.unique_values[i], int(stats.unique_counts[i])
+    return False, stats.top_value, stats.max_count
 
 
 def freq_encode(
@@ -345,7 +355,7 @@ def freq_ratio(stats: FamilyStats, require_big_max: bool) -> float:
         return 0.0
     if stats.tuple_count and stats.null_count / stats.tuple_count >= 0.9:
         return float(stats.tuple_count - 1)
-    max_count = int(stats.unique_counts.max()) if len(stats.unique_counts) else 0
+    max_count = stats.max_count
     if stats.tuple_count and max_count / stats.tuple_count >= 0.9:
         if not require_big_max:
             return float(stats.tuple_count - 1)

@@ -341,8 +341,14 @@ def compress_binary(
     validity: Optional[np.ndarray],
     options: WriteOptions,
 ) -> bytes:
-    stats = gen_stats(offsets, values, validity)
-    codec = choose_compressor(stats, options)
+    if options.default_compress_ratio is None and not (
+        env.check_freq_env() or env.check_dict_env()
+    ):
+        stats = None
+        codec = options.default_compression
+    else:
+        stats = gen_stats(offsets, values, validity)
+        codec = choose_compressor(stats, options)
     from ..util.obs import log_codec_choice
 
     log_codec_choice("binary", codec)

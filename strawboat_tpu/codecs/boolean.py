@@ -151,8 +151,12 @@ def compress_boolean(
     validity: Optional[np.ndarray],
     options: WriteOptions,
 ) -> bytes:
-    stats = gen_stats(values, validity)
-    codec = choose_compressor(stats, options)
+    if options.default_compress_ratio is None and not env.check_rle_env():
+        stats = None
+        codec = options.default_compression
+    else:
+        stats = gen_stats(values, validity)
+        codec = choose_compressor(stats, options)
     from ..util.obs import log_codec_choice
 
     log_codec_choice("boolean", codec)

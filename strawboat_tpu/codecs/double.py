@@ -237,8 +237,17 @@ def compress_double(
     validity: Optional[np.ndarray],
     options: WriteOptions,
 ) -> bytes:
-    stats = gen_stats(values, validity)
-    codec = choose_compressor(stats, options)
+    if options.default_compress_ratio is None and not (
+        env.check_freq_env()
+        or env.check_dict_env()
+        or env.check_rle_env()
+        or env.check_patas_env()
+    ):
+        stats = None
+        codec = options.default_compression
+    else:
+        stats = gen_stats(values, validity)
+        codec = choose_compressor(stats, options)
     from ..util.obs import log_codec_choice
 
     log_codec_choice("double", codec)

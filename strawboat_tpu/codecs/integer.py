@@ -252,8 +252,19 @@ def compress_integer(
     options: WriteOptions,
 ) -> bytes:
     """Frame + compress one integer page (reference integer/mod.rs:35-70)."""
-    stats = gen_stats(values, validity)
-    codec = choose_compressor(stats, options)
+    if options.default_compress_ratio is None and not (
+        env.check_freq_env()
+        or env.check_dict_env()
+        or env.check_rle_env()
+        or env.check_bitpack_env()
+    ):
+        # no ratio competition and no forcing: the default codec wins and
+        # stats are never consulted (skip the reference's wasted scan)
+        stats = None
+        codec = options.default_compression
+    else:
+        stats = gen_stats(values, validity)
+        codec = choose_compressor(stats, options)
     from ..util.obs import log_codec_choice
 
     log_codec_choice("integer", codec)

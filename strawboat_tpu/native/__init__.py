@@ -94,6 +94,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.c_void_p,
         ]
+        for fn in (lib.sb_int_stats_i64, lib.sb_int_stats_u64):
+            fn.restype = ctypes.c_int
+            fn.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+            ]
         _lib = lib
         return _lib
 
@@ -135,6 +143,55 @@ def decompress_batch(codec: int, inputs, out_lens, n_threads: int = 0):
 
         raise OutOfSpecError(f"native batch decompression failed (rc={rc})")
     return outs
+
+
+def int_stats_native(values: np.ndarray, validity: Optional[np.ndarray]):
+    """One-pass page stats via C++ (reference gen_stats hot loop)."""
+    lib = _load()
+    if lib is None:
+        return None
+    dtype = values.dtype
+    unsigned = dtype == np.uint64
+    v = np.ascontiguousarray(
+        values if values.itemsize == 8 else values.astype(
+            np.uint64 if dtype.kind == "u" else np.int64
+        )
+    )
+    vmask = (
+        np.ascontiguousarray(validity, dtype=np.uint8)
+        if validity is not None
+        else None
+    )
+    out = np.zeros(8, dtype=np.int64)
+    fn = lib.sb_int_stats_u64 if (unsigned or dtype.kind == "u") else lib.sb_int_stats_i64
+    fn(
+        v.ctypes.data_as(ctypes.c_void_p),
+        vmask.ctypes.data_as(ctypes.c_void_p) if vmask is not None else None,
+        len(v),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    from ..codecs._family import FamilyStats
+
+    n = len(values)
+    run_count = int(out[3])
+    vmin = out[0] if dtype.kind == "i" else np.uint64(out[0].view(np.uint64))
+    vmax = out[1] if dtype.kind == "i" else np.uint64(out[1].view(np.uint64))
+    top = np.asarray(out[6]).view(np.uint64)[()] if dtype.kind == "u" else out[6]
+    return FamilyStats(
+        values=values,
+        validity=validity,
+        tuple_count=n,
+        total_bytes=n * dtype.itemsize,
+        null_count=int(out[2]),
+        average_run_length=(n / run_count) if run_count else float("inf"),
+        is_sorted=bool(out[4]),
+        min=dtype.type(vmin),
+        max=dtype.type(vmax),
+        unique_count=int(out[5]),
+        top_value=dtype.type(top),
+        max_count=int(out[7]),
+        set_count=n - int(out[2]),
+    )
 
 
 def patas_decode_native(buf: np.ndarray, pos: int, length: int, dtype) -> Optional[np.ndarray]:

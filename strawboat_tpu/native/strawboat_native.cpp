@@ -216,3 +216,63 @@ int64_t sb_patas_encode(const uint64_t* bits, int64_t length, int width,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Integer page stats (reference integer/mod.rs:179-229 gen_stats): one pass
+// min/max/run/sorted + distinct hashmap.  out layout (i64 x8):
+// [min, max, null_count, run_count, is_sorted, unique_count, top_value, max_count]
+
+template <typename T>
+static void int_stats_impl(const T* vals, const uint8_t* validity, int64_t n,
+                           int64_t* out) {
+  T vmin = n ? vals[0] : T(0), vmax = n ? vals[0] : T(0);
+  int64_t nulls = 0, runs = 0;
+  bool sorted = true;
+  T last = T(0);
+  std::unordered_map<T, int64_t> distinct;
+  distinct.reserve(1024);
+  for (int64_t i = 0; i < n; ++i) {
+    T v = vals[i];
+    bool ok = validity == nullptr || validity[i];
+    if (ok) {
+      if (v < last) sorted = false;
+      if (last != v) {
+        ++runs;
+        last = v;
+      }
+    } else {
+      ++nulls;
+    }
+    if (v < vmin) vmin = v;
+    if (v > vmax) vmax = v;
+    ++distinct[v];
+  }
+  T top = T(0);
+  int64_t max_count = 0;
+  for (auto& kv : distinct) {
+    if (kv.second > max_count) {
+      max_count = kv.second;
+      top = kv.first;
+    }
+  }
+  out[0] = (int64_t)vmin;
+  out[1] = (int64_t)vmax;
+  out[2] = nulls;
+  out[3] = runs;
+  out[4] = sorted ? 1 : 0;
+  out[5] = (int64_t)distinct.size();
+  out[6] = (int64_t)top;
+  out[7] = max_count;
+}
+
+extern "C" int sb_int_stats_i64(const int64_t* vals, const uint8_t* validity,
+                                int64_t n, int64_t* out) {
+  int_stats_impl<int64_t>(vals, validity, n, out);
+  return 0;
+}
+
+extern "C" int sb_int_stats_u64(const uint64_t* vals, const uint8_t* validity,
+                                int64_t n, int64_t* out) {
+  int_stats_impl<uint64_t>(vals, validity, n, out);
+  return 0;
+}
