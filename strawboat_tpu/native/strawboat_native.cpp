@@ -170,22 +170,59 @@ int sb_patas_decode(const uint8_t* in, int64_t in_len, int64_t length,
 }
 
 // Encode: out must have capacity length*(width+2)+width; returns bytes written.
+//
+// Reference-index lookup uses a windowed 8-way bucket table instead of the
+// reference's full hashmap: only references within the last 128 positions are
+// usable (patas.rs:63-66 falls back to i-1 otherwise), so entries older than
+// the window are semantically dead and their slots reusable.  In the
+// (astronomically unlikely) case a bucket overflows with live entries, we
+// fall back to i-1 — still a valid stream, identical on decode.
+namespace {
+struct PatasSlot { uint64_t val; int64_t idx; };
+constexpr int kPatasBuckets = 128;  // x8 slots = 1024 for a 128-entry window
+constexpr int kPatasWays = 8;
+
+static inline uint64_t patas_hash(uint64_t x) {
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ull;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBull;
+  return x ^ (x >> 31);
+}
+}  // namespace
+
 int64_t sb_patas_encode(const uint64_t* bits, int64_t length, int width,
                         uint8_t* out) {
   if (length <= 0) return 0;
   const int wbits = width * 8;
   const uint64_t mask = width == 8 ? ~0ull : ((1ull << wbits) - 1);
-  std::unordered_map<uint64_t, int64_t> indices;
-  indices.reserve(256);
+  PatasSlot table[kPatasBuckets][kPatasWays];
+  for (auto& b : table)
+    for (auto& s : b) s.idx = INT64_MIN;
+  auto lookup = [&](uint64_t v) -> int64_t {
+    auto& b = table[patas_hash(v) & (kPatasBuckets - 1)];
+    for (auto& s : b)
+      if (s.idx != INT64_MIN && s.val == v) return s.idx;
+    return 0;  // reference: indices.get(&val).unwrap_or(0)
+  };
+  auto insert = [&](uint64_t v, int64_t i) {
+    auto& b = table[patas_hash(v) & (kPatasBuckets - 1)];
+    PatasSlot* dead = nullptr;
+    PatasSlot* oldest = &b[0];
+    for (auto& s : b) {
+      if (s.idx != INT64_MIN && s.val == v) { s.idx = i; return; }
+      if (s.idx == INT64_MIN || s.idx < i - 128) dead = &s;
+      if (s.idx < oldest->idx) oldest = &s;
+    }
+    PatasSlot* slot = dead ? dead : oldest;
+    slot->val = v;
+    slot->idx = i;
+  };
   int64_t p = 0;
   std::memcpy(out + p, &bits[0], (size_t)width);
   p += width;
-  indices.emplace(bits[0], 0);
+  insert(bits[0], 0);
   for (int64_t i = 1; i < length; ++i) {
     uint64_t val = bits[i];
-    int64_t ref_idx = 0;
-    auto it = indices.find(val);
-    if (it != indices.end()) ref_idx = it->second;
+    int64_t ref_idx = lookup(val);
     if (ref_idx > i || (i - ref_idx) >= 128) ref_idx = i - 1;
     int diff = (int)(i - ref_idx);
     uint64_t refer = bits[i - diff];
@@ -210,7 +247,7 @@ int64_t sb_patas_encode(const uint64_t* bits, int64_t length, int width,
       std::memcpy(out + p, &payload, (size_t)sig_bytes);
       p += sig_bytes;
     }
-    indices[val] = i;
+    insert(val, i);
   }
   return p;
 }
