@@ -108,5 +108,42 @@ def main() -> int:
     return 0
 
 
+def _watchdog_main() -> int:
+    """Run main() with a hard watchdog.
+
+    The axon relay can wedge (device→host transfers hang indefinitely after
+    an OOM); emit a sentinel result rather than hanging the driver.
+    """
+    import threading
+    import os
+
+    result = {}
+
+    def runner():
+        try:
+            result["rc"] = main()
+        except Exception as e:  # noqa: BLE001
+            result["error"] = str(e)
+
+    t = threading.Thread(target=runner, daemon=True)
+    t.start()
+    t.join(timeout=1500)
+    if t.is_alive() or "error" in result:
+        note = result.get("error", "device wedged: fetch timeout")
+        print(
+            json.dumps(
+                {
+                    "metric": "bitpack_decode_bandwidth",
+                    "value": 0.0,
+                    "unit": "GB/s",
+                    "vs_baseline": 0.0,
+                    "note": note[:200],
+                }
+            )
+        )
+        os._exit(1)
+    return result.get("rc", 0)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_watchdog_main())
