@@ -237,6 +237,68 @@ def _decode_structured_to_device(
     raise NotYetImplementedError(f"device decode for {codec}")
 
 
+def _parse_uniform_bp_page(buf, body: int, length: int):
+    """If every block of a bitpacked page shares one width → (words, n_blocks, b)."""
+    n_blocks = (length + 127) // 128
+    nbs = []
+    p = body
+    for _ in range(n_blocks):
+        nb = int(buf[p])
+        nbs.append(nb)
+        p += 1 + nb * 16
+    if len(set(nbs)) != 1 or nbs[0] == 0:
+        return None
+    b = nbs[0]
+    stride = 1 + b * 16
+    body_arr = np.frombuffer(buf, np.uint8, n_blocks * stride, body)
+    words = body_arr.reshape(n_blocks, stride)[:, 1:].copy().view(np.uint32)
+    return words, n_blocks, b
+
+
+def _decode_bp_group(bp_jobs, np_dtype):
+    """Decode many bitpacked pages with one kernel launch per (codec, b)."""
+    from collections import defaultdict
+
+    results = {}
+    groups = defaultdict(list)
+    for job in bp_jobs:
+        idx, codec, words, n_blocks, b, length = job
+        groups[(codec, b)].append(job)
+    for (codec, b), jobs in groups.items():
+        all_words = np.concatenate([j[2] for j in jobs], axis=0)
+        dec = bitunpack_device(jnp.asarray(all_words), b)
+        if codec == Compression.DELTA_BITPACKING:
+            # per-page prefix sums: cumsum within page boundaries
+            flat = dec.reshape(-1)
+            starts = np.cumsum([0] + [j[3] * 128 for j in jobs])
+            total = int(starts[-1])
+            # subtract the running total at each page start so each page's
+            # cumsum restarts (delta blocks carry within a page only)
+            g = jnp.cumsum(flat.astype(jnp.uint32), dtype=jnp.uint32)
+            base = jnp.concatenate(
+                [jnp.zeros(1, jnp.uint32), g[jnp.asarray(starts[1:-1]) - 1]]
+            )
+            page_base = jnp.repeat(
+                base, jnp.asarray([j[3] * 128 for j in jobs]), total_repeat_length=total
+            )
+            flat = g - page_base
+            dec = flat
+        else:
+            dec = dec.reshape(-1)
+        off = 0
+        for idx, _c, _w, n_blocks, _b, length in jobs:
+            page_vals = jax.lax.dynamic_slice(dec, (off,), (n_blocks * 128,))[
+                :length
+            ]
+            off += n_blocks * 128
+            if np_dtype.itemsize == 4:
+                page_vals = jax.lax.bitcast_convert_type(
+                    page_vals, jnp.dtype(np_dtype)
+                )
+            results[idx] = page_vals
+    return results
+
+
 def decode_column_pages_device(
     file_bytes: np.ndarray,
     meta: ColumnMeta,
@@ -273,12 +335,17 @@ def decode_column_pages_device(
 
     # batched native decompression for raw-codec primitive pages
     raw_jobs = []
+    bp_jobs = []  # (idx, codec, words, n_blocks, num_bits, length)
     for idx, (length, _v, buf, p) in enumerate(plans):
         if pa.types.is_boolean(dtype):
             continue
         codec, csize, _us, body = read_header(buf, p)
         if codec.raw_mode and codec != Compression.NONE:
             raw_jobs.append((idx, codec, buf[body : body + csize], length))
+        elif codec in (Compression.BITPACKING, Compression.DELTA_BITPACKING):
+            parsed = _parse_uniform_bp_page(buf, body, length)
+            if parsed is not None:
+                bp_jobs.append((idx, codec, *parsed, length))
     raw_results = {}
     if len(raw_jobs) > 1:
         from .. import native
@@ -291,6 +358,9 @@ def decode_column_pages_device(
             )
             for (idx, _c, _b, _l), out in zip(raw_jobs, outs):
                 raw_results[idx] = out.view(np_dtype)
+    # one fused kernel launch per (codec, num_bits) group of bitpacked pages
+    if len(bp_jobs) > 1:
+        raw_results.update(_decode_bp_group(bp_jobs, np_dtype))
 
     parts = []
     vparts = []
