@@ -27,10 +27,19 @@ _STATE_NONE, _STATE_STARTED, _STATE_WRITTEN, _STATE_FINISHED = range(4)
 
 
 class NativeWriter:
-    def __init__(self, writer: BinaryIO, schema: pa.Schema, options: WriteOptions = None):
+    def __init__(
+        self,
+        writer: BinaryIO,
+        schema: pa.Schema,
+        options: WriteOptions = None,
+        n_threads: int = 1,
+    ):
         self.writer = writer
         self.schema = schema
         self.options = options or WriteOptions()
+        # >1 or 0(auto) enables a page thread pool; default stays sequential
+        # (GIL-bound python dominates small pages — opt in for large binary pages)
+        self.n_threads = n_threads
         self.metas: List[ColumnMeta] = []
         self._zones = {}
         self._offset = 0
@@ -78,36 +87,68 @@ class NativeWriter:
     def _encode_chunk(self, columns: Sequence[Column]) -> None:
         n_rows = len(columns[0]) if columns else 0
         page_size = min(self.options.max_page_size or n_rows, n_rows)
+        jobs = []  # (field, nests, leaf, [(off, ln), ...])
         for col, field in zip(columns, self.schema):
             for nests, leaf in to_nested(col, field):
-                start = self._offset
-                pages: List[PageMeta] = []
                 length = len(col)
                 step = max(page_size, 1)
-                zone_pages = []
-                for off in range(0, length, step):
-                    ln = min(step, length - off)
-                    s_nests, s_leaf = slice_nested(nests, leaf, off, ln)
-                    page_start = self._offset
-                    body, num_values = write_page(s_nests, s_leaf, self.options)
-                    self._write(body)
-                    pages.append(PageMeta(self._offset - page_start, num_values))
-                    if (
-                        self.options.zone_maps
-                        and len(nests) == 1
-                        and hasattr(s_leaf, "values")
-                        and getattr(s_leaf.values, "dtype", None) is not None
-                        and s_leaf.values.dtype.kind in "iuf"
-                    ):
-                        from ..exec.pruning import PageZone, compute_zones
+                spans = [
+                    (off, min(step, length - off)) for off in range(0, length, step)
+                ]
+                jobs.append((field, nests, leaf, spans))
 
-                        mn, mx, nulls = compute_zones(s_leaf.values, s_leaf.validity)
-                        zone_pages.append(PageZone(mn, mx, nulls, ln))
-                self.metas.append(ColumnMeta(start, pages))
-                if self.options.zone_maps and zone_pages:
-                    from ..exec.pruning import ColumnZones
+        def encode_one(nests, leaf, off, ln):
+            s_nests, s_leaf = slice_nested(nests, leaf, off, ln)
+            body, num_values = write_page(s_nests, s_leaf, self.options)
+            zone = None
+            if (
+                self.options.zone_maps
+                and len(s_nests) == 1
+                and hasattr(s_leaf, "values")
+                and getattr(s_leaf.values, "dtype", None) is not None
+                and s_leaf.values.dtype.kind in "iuf"
+            ):
+                from ..exec.pruning import PageZone, compute_zones
 
-                    self._zones[field.name] = ColumnZones(field.name, zone_pages)
+                mn, mx, nulls = compute_zones(s_leaf.values, s_leaf.validity)
+                zone = PageZone(mn, mx, nulls, ln)
+            return body, num_values, zone
+
+        total_pages = sum(len(spans) for _f, _n, _l, spans in jobs)
+        results = {}
+        if self.n_threads != 1 and total_pages > 4:
+            import concurrent.futures as cf
+            import os as _os
+
+            workers = self.n_threads or min(_os.cpu_count() or 4, 16)
+            with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+                futs = {}
+                for ji, (_f, nests, leaf, spans) in enumerate(jobs):
+                    for pi, (off, ln) in enumerate(spans):
+                        futs[(ji, pi)] = pool.submit(encode_one, nests, leaf, off, ln)
+                for key, fut in futs.items():
+                    results[key] = fut.result()
+        else:
+            for ji, (_f, nests, leaf, spans) in enumerate(jobs):
+                for pi, (off, ln) in enumerate(spans):
+                    results[(ji, pi)] = encode_one(nests, leaf, off, ln)
+
+        for ji, (field, nests, leaf, spans) in enumerate(jobs):
+            start = self._offset
+            pages: List[PageMeta] = []
+            zone_pages = []
+            for pi in range(len(spans)):
+                body, num_values, zone = results[(ji, pi)]
+                page_start = self._offset
+                self._write(body)
+                pages.append(PageMeta(self._offset - page_start, num_values))
+                if zone is not None:
+                    zone_pages.append(zone)
+            self.metas.append(ColumnMeta(start, pages))
+            if self.options.zone_maps and zone_pages:
+                from ..exec.pruning import ColumnZones
+
+                self._zones[field.name] = ColumnZones(field.name, zone_pages)
 
     def finish(self) -> None:
         if self._state != _STATE_WRITTEN:
