@@ -6,12 +6,10 @@ from typing import Iterator, List, Optional
 
 import pyarrow as pa
 
-from .codecs import WriteOptions
-from .columns import Column, from_arrow
 from .meta import ColumnMeta
 from .read.batch_read import batch_read_column
 from .read.deserialize import column_iter_to_arrays
-from .read.reader import NativeReader, infer_schema, open_readers, read_meta
+from .read.reader import infer_schema, open_readers, read_meta
 from .schema import n_leaf_columns
 from .write.writer import NativeWriter, write_file  # noqa: F401
 

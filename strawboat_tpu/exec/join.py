@@ -10,7 +10,7 @@ static ``max_matches_per_key`` fan-out.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

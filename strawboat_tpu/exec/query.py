@@ -16,8 +16,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
-import numpy as np
-
 from .aggregate import hash_aggregate, scalar_aggregate
 from .expr import Expr
 from .scan import DeviceTable, scan_file

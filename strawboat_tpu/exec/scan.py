@@ -10,15 +10,15 @@ indices from zone maps.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
-from typing import Dict, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pyarrow as pa
 
-from ..codecs import HEADER_SIZE, read_header
+from ..codecs import read_header
 from ..codecs import common as common_codec
 from ..codecs.double import patas_decode
 from ..columns import _np_storage_dtype

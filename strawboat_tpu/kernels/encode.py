@@ -9,7 +9,6 @@ OR-reduce bit widths for bitpacking sizing.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
