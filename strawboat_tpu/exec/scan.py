@@ -110,6 +110,20 @@ class PageStats:
 # host-side page decode planning
 
 
+def _pad_pow2(arr: np.ndarray, fill) -> np.ndarray:
+    """Pad a 1-D array to the next power of two (bounds jit compile variants:
+    per-page run/exception counts otherwise force a fresh XLA compile each)."""
+    n = len(arr)
+    if n == 0:
+        return arr
+    target = 1 << (n - 1).bit_length()
+    if target == n:
+        return arr
+    out = np.full(target, fill, dtype=arr.dtype)
+    out[:n] = arr
+    return out
+
+
 def _decode_structured_to_device(
     buf: np.ndarray, pos: int, length: int, dtype: np.dtype
 ):
@@ -141,8 +155,8 @@ def _decode_structured_to_device(
         recs = np.frombuffer(buf, dtype=rec, count=avail, offset=body)
         cum = np.cumsum(recs["len"].astype(np.int64))
         k = int(np.searchsorted(cum, length, side="left")) + 1
-        counts = recs["len"][:k].astype(np.int32)
-        values = recs["val"][:k].copy()
+        counts = _pad_pow2(recs["len"][:k].astype(np.int32), 0)
+        values = _pad_pow2(recs["val"][:k].copy(), recs["val"][0])
         return (
             rle_expand_device(jnp.asarray(counts), jnp.asarray(values), length),
             end,
@@ -153,7 +167,7 @@ def _decode_structured_to_device(
             buf, body, length, np.dtype(np.uint32)
         )
         count = int(np.frombuffer(buf, "<u4", 1, ipos)[0])
-        data = np.frombuffer(buf, dtype, count, ipos + 4)
+        data = _pad_pow2(np.frombuffer(buf, dtype, count, ipos + 4).copy(), 0)
         return dict_gather_device(indices, jnp.asarray(data)), end
 
     if codec == Compression.FREQ:
@@ -167,10 +181,14 @@ def _decode_structured_to_device(
         exceptions, _ = _decode_structured_to_device(
             buf, p, len(positions), dtype
         )
+        # pad positions out-of-range (dropped by the scatter) to bound compiles
+        pos_pad = _pad_pow2(positions.astype(np.int32), length)
+        if len(pos_pad) != len(positions):
+            exceptions = jnp.pad(exceptions, (0, len(pos_pad) - len(positions)))
         return (
             freq_scatter_device(
                 jnp.asarray(top),
-                jnp.asarray(positions.astype(np.int32)),
+                jnp.asarray(pos_pad),
                 exceptions,
                 length,
             ),

@@ -144,9 +144,13 @@ def one_value_device(value: jax.Array, total: int) -> jax.Array:
 def freq_scatter_device(
     top: jax.Array, positions: jax.Array, exceptions: jax.Array, total: int
 ) -> jax.Array:
-    """Fill with the top value then scatter exceptions at their positions."""
+    """Fill with the top value then scatter exceptions at their positions.
+
+    Out-of-range positions are dropped — callers pad position arrays to
+    bucketed sizes (with ``total`` as the pad index) to bound compile variants.
+    """
     out = jnp.full((total,), top, dtype=exceptions.dtype)
-    return out.at[positions].set(exceptions)
+    return out.at[positions].set(exceptions, mode="drop")
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
