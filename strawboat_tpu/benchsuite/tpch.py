@@ -100,6 +100,51 @@ def q1(table, delta_days: int = 90):
     return res
 
 
+def generate_orders(scale: float, seed: int = 1, rows: Optional[int] = None) -> pa.Table:
+    """Orders table (1.5M rows/SF): orderkey aligned with lineitem's."""
+    n = rows if rows is not None else int(1_500_000 * scale)
+    rng = np.random.default_rng(seed)
+    orderkey = np.arange(n, dtype=np.int64)
+    custkey = rng.integers(0, max(int(150_000 * max(scale, 0.01)), 10), n).astype(np.int64)
+    orderdate = rng.integers(0, 2557 - 151, n).astype(np.int32)
+    # order priority segment: low-cardinality int (1..5)
+    priority = rng.integers(1, 6, n).astype(np.int64)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(orderkey),
+            "o_custkey": pa.array(custkey),
+            "o_orderdate": pa.array(orderdate, type=pa.int32()),
+            "o_orderpriority": pa.array(priority),
+        }
+    )
+
+
+def q3_like(lineitem, orders, date_cut: int = 1000, num_groups: int = 8192):
+    """Q3-shaped query: join lineitem→orders on orderkey, filter order date,
+    group revenue by order priority.
+
+    Exercises the searchsorted hash join + grouped aggregate at fact-table
+    scale (orders is the unique-key build side).
+    """
+    import jax.numpy as jnp
+
+    from ..exec import hash_join
+    from ..exec.aggregate import grouped_aggregate
+
+    pi, bi, valid = hash_join(lineitem, orders, on=("l_orderkey", "o_orderkey"))
+    odate = orders["o_orderdate"].values[bi]
+    valid = jnp.logical_and(valid, odate < date_cut)
+    revenue = (
+        lineitem["l_extendedprice"].values[pi]
+        * (jnp.int64(100) - lineitem["l_discount"].values[pi])
+    )
+    prio = orders["o_orderpriority"].values[bi]
+    uniq, n_groups, rep, (total,) = grouped_aggregate(
+        (prio,), (revenue,), valid, num_groups, (("sum", 0),)
+    )
+    return uniq, n_groups, total
+
+
 def q6_numpy_reference(table: pa.Table) -> int:
     sd = table.column("l_shipdate").to_numpy()
     disc = table.column("l_discount").to_numpy()

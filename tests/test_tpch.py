@@ -72,3 +72,46 @@ def test_q1(lineitem_file):
     total_qty = sum(v[0] for v in exp.values())
     got_total = int(np.asarray(res["sum_qty"])[:n_groups].sum())
     assert got_total == total_qty
+
+
+def test_q3_like_join(tmp_path):
+    import jax.numpy as jnp
+
+    from strawboat_tpu.benchsuite.tpch import generate_orders, q3_like
+
+    li = generate_lineitem(0.01, rows=40_000)
+    orders = generate_orders(0.01, rows=10_000)
+    lp = str(tmp_path / "li.str")
+    op = str(tmp_path / "ord.str")
+    opts = WriteOptions(
+        default_compression=Compression.LZ4,
+        default_compress_ratio=1.0,
+        max_page_size=8192,
+        sample_seed=2,
+    )
+    write_file(lp, li, options=opts)
+    write_file(op, orders, options=opts)
+    lt = scan_file(lp)
+    ot = scan_file(op)
+    uniq, n_groups, total = q3_like(lt, ot, date_cut=1000, num_groups=16)
+    n_groups = int(n_groups)
+    got = {
+        int(k): int(t)
+        for k, t in zip(
+            np.asarray(uniq)[:n_groups], np.asarray(total)[:n_groups]
+        )
+    }
+    # numpy reference
+    ok = li.column("l_orderkey").to_numpy()
+    ep = li.column("l_extendedprice").to_numpy()
+    disc = li.column("l_discount").to_numpy()
+    od = orders.column("o_orderdate").to_numpy()
+    pr = orders.column("o_orderpriority").to_numpy()
+    sel = od[ok] < 1000
+    rev = ep * (100 - disc)
+    exp = {}
+    for p in np.unique(pr):
+        m = sel & (pr[ok] == p)
+        if m.any():
+            exp[int(p)] = int(rev[m].sum())
+    assert got == exp
