@@ -80,7 +80,28 @@ def _encode_blocks(payload_blocks: np.ndarray, width_blocks: np.ndarray) -> byte
 
 def bitpack_decode(buf, pos: int, length: int, dtype: np.dtype) -> Tuple[np.ndarray, int]:
     n_blocks = (length + BLOCK_LEN - 1) // BLOCK_LEN
-    # parse block headers, then batch-decode groups of equal width
+    from ..util.bits import unpack_blocks
+
+    # fast path: uniform width (one reshape instead of per-block gathers)
+    if n_blocks:
+        nb0 = int(buf[pos])
+        stride = 1 + nb0 * 16
+        if pos + n_blocks * stride <= len(buf):
+            hdr = np.frombuffer(buf, np.uint8, n_blocks * stride, pos).reshape(
+                n_blocks, stride
+            )
+            if (hdr[:, 0] == nb0).all():
+                words = hdr[:, 1:].copy().view(np.uint32) if nb0 else None
+                out = (
+                    unpack_blocks(words, nb0)
+                    if nb0
+                    else np.zeros((n_blocks, BLOCK_LEN), np.uint32)
+                )
+                return (
+                    out.reshape(-1)[:length].view(dtype),
+                    pos + n_blocks * stride,
+                )
+    # mixed widths: parse headers, batch-decode groups of equal width
     nbs = np.empty(n_blocks, dtype=np.int64)
     offs = np.empty(n_blocks, dtype=np.int64)
     p = pos
@@ -91,8 +112,6 @@ def bitpack_decode(buf, pos: int, length: int, dtype: np.dtype) -> Tuple[np.ndar
         offs[b] = p + 1
         p += 1 + int(buf[p]) * 16
     out = np.empty((n_blocks, BLOCK_LEN), dtype=np.uint32)
-    from ..util.bits import unpack_blocks
-
     for nb in np.unique(nbs):
         nb = int(nb)
         sel = np.flatnonzero(nbs == nb)

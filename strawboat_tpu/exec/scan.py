@@ -110,6 +110,20 @@ class PageStats:
 # host-side page decode planning
 
 
+def _decode_structured_host(
+    buf: np.ndarray, pos: int, length: int, dtype: np.dtype
+) -> np.ndarray:
+    """Vectorized numpy decode of one non-bitpacked structured page."""
+    from ..codecs.double import decompress_double
+    from ..codecs.integer import decompress_integer
+
+    if dtype.kind == "f":
+        vals, _ = decompress_double(buf, pos, length, dtype)
+    else:
+        vals, _ = decompress_integer(buf, pos, length, dtype)
+    return np.asarray(vals)
+
+
 def _pad_pow2(arr: np.ndarray, fill) -> np.ndarray:
     """Pad a 1-D array to the next power of two (bounds jit compile variants:
     per-page run/exception counts otherwise force a fresh XLA compile each)."""
@@ -273,48 +287,47 @@ def _parse_uniform_bp_page(buf, body: int, length: int):
     return words, n_blocks, b
 
 
-def _decode_bp_group(bp_jobs, np_dtype):
-    """Decode many bitpacked pages with one kernel launch per (codec, b)."""
+def _decode_bp_group_arrays(bp_jobs):
+    """Decode many bitpacked pages with one kernel launch per (codec, b).
+
+    Returns ({group_key: flat u32 device array},
+             {page_idx: (group_key, offset, n_vals)}).
+    """
     from collections import defaultdict
 
-    results = {}
     groups = defaultdict(list)
     for job in bp_jobs:
         idx, codec, words, n_blocks, b, length = job
         groups[(codec, b)].append(job)
-    for (codec, b), jobs in groups.items():
+    group_arrays = {}
+    page_ref = {}
+    for gkey, jobs in groups.items():
+        codec, b = gkey
         all_words = np.concatenate([j[2] for j in jobs], axis=0)
         dec = bitunpack_device(jnp.asarray(all_words), b)
         if codec == Compression.DELTA_BITPACKING:
-            # per-page prefix sums: cumsum within page boundaries
             flat = dec.reshape(-1)
             starts = np.cumsum([0] + [j[3] * 128 for j in jobs])
             total = int(starts[-1])
-            # subtract the running total at each page start so each page's
-            # cumsum restarts (delta blocks carry within a page only)
+            # per-page prefix-sum restart (delta carries within a page only)
             g = jnp.cumsum(flat.astype(jnp.uint32), dtype=jnp.uint32)
             base = jnp.concatenate(
                 [jnp.zeros(1, jnp.uint32), g[jnp.asarray(starts[1:-1]) - 1]]
             )
             page_base = jnp.repeat(
-                base, jnp.asarray([j[3] * 128 for j in jobs]), total_repeat_length=total
+                base,
+                jnp.asarray([j[3] * 128 for j in jobs]),
+                total_repeat_length=total,
             )
-            flat = g - page_base
-            dec = flat
+            dec = g - page_base
         else:
             dec = dec.reshape(-1)
+        group_arrays[gkey] = dec
         off = 0
         for idx, _c, _w, n_blocks, _b, length in jobs:
-            page_vals = jax.lax.dynamic_slice(dec, (off,), (n_blocks * 128,))[
-                :length
-            ]
+            page_ref[idx] = (gkey, off, n_blocks * 128)
             off += n_blocks * 128
-            if np_dtype.itemsize == 4:
-                page_vals = jax.lax.bitcast_convert_type(
-                    page_vals, jnp.dtype(np_dtype)
-                )
-            results[idx] = page_vals
-    return results
+    return group_arrays, page_ref
 
 
 def decode_column_pages_device(
@@ -377,36 +390,79 @@ def decode_column_pages_device(
             for (idx, _c, _b, _l), out in zip(raw_jobs, outs):
                 raw_results[idx] = out.view(np_dtype)
     # one fused kernel launch per (codec, num_bits) group of bitpacked pages
+    bp_group_arrays = {}
+    bp_page_ref = {}
     if len(bp_jobs) > 1:
-        raw_results.update(_decode_bp_group(bp_jobs, np_dtype))
+        bp_group_arrays, bp_page_ref = _decode_bp_group_arrays(bp_jobs)
 
-    parts = []
+    # assembly: host parts concatenate in numpy (1 upload), device parts from
+    # fused group kernels; per-page eager jax ops are the enemy here
+    parts = []  # (kind, payload): kind in {host, device}
+    host_acc = []
+
+    def flush_host():
+        if host_acc:
+            parts.append(("device", jnp.asarray(np.concatenate(host_acc))))
+            host_acc.clear()
+
     vparts = []
     for idx, (length, validity, buf, p) in enumerate(plans):
         if nullable:
             vparts.append(
-                jnp.ones(length, dtype=jnp.bool_)
-                if validity is None
-                else jnp.asarray(validity)
+                np.ones(length, dtype=bool) if validity is None else validity
             )
-        if pa.types.is_boolean(dtype):
-            vals = _decode_boolean_page_device(buf, p, length)
-            parts.append(vals)
+        if idx in bp_page_ref:
+            gkey, off, n_vals = bp_page_ref[idx]
+            flush_host()
+            parts.append(("slice", (gkey, off, n_vals, length)))
         elif idx in raw_results:
-            parts.append(jnp.asarray(raw_results[idx]))
+            host_acc.append(raw_results[idx])
+        elif pa.types.is_boolean(dtype):
+            flush_host()
+            parts.append(("device", _decode_boolean_page_device(buf, p, length)))
         else:
-            vals, _ = _decode_structured_to_device(buf, p, length, np_dtype)
-            parts.append(vals)
+            # structured non-bitpacked pages (rle/dict/freq/one_value/patas):
+            # vectorized numpy host decode → single device upload per column
+            # (per-page device dispatch overhead dwarfs the decode itself; the
+            # bitpacked fast path above stays fully on-device)
+            host_acc.append(_decode_structured_host(buf, p, length, np_dtype))
+    flush_host()
 
     if not parts:
         values = jnp.zeros(0, dtype=jnp.dtype(np_dtype) if np_dtype else jnp.bool_)
         return DeviceColumn(field.name, dtype, values, None)
-    values = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-    validity = (
-        (jnp.concatenate(vparts) if len(vparts) > 1 else vparts[0])
-        if nullable
-        else None
+
+    # merge consecutive full-page slices of one group into single slices
+    merged = []
+    for kind, payload in parts:
+        if (
+            kind == "slice"
+            and merged
+            and merged[-1][0] == "slice"
+            and merged[-1][1][0] == payload[0]
+            and merged[-1][1][1] + merged[-1][1][2] == payload[1]
+            and merged[-1][1][2] == merged[-1][1][3]  # previous page full
+        ):
+            g, off, n_vals, length = merged[-1][1]
+            merged[-1] = ("slice", (g, off, n_vals + payload[2], length + payload[3]))
+        else:
+            merged.append((kind, payload))
+    device_parts = []
+    for kind, payload in merged:
+        if kind == "device":
+            device_parts.append(payload)
+        else:
+            gkey, off, n_vals, length = payload
+            arr = jax.lax.dynamic_slice(bp_group_arrays[gkey], (off,), (n_vals,))[
+                :length
+            ]
+            if np_dtype is not None and np_dtype.itemsize == 4:
+                arr = jax.lax.bitcast_convert_type(arr, jnp.dtype(np_dtype))
+            device_parts.append(arr)
+    values = (
+        jnp.concatenate(device_parts) if len(device_parts) > 1 else device_parts[0]
     )
+    validity = jnp.asarray(np.concatenate(vparts)) if (nullable and vparts) else None
     return DeviceColumn(field.name, dtype, values, validity)
 
 
