@@ -1,0 +1,142 @@
+"""Chunked pipelined distributed aggregation (collective-overlap).
+
+SURVEY §2.8's "collective-overlap" component: the table streams through in
+chunks; each chunk's local partial aggregate + keyed all_to_all exchange is
+dispatched asynchronously, so chunk i+1's decode/aggregate compute overlaps
+chunk i's exchange in the device pipeline (single-controller JAX dispatches
+are async; independent chunk computations interleave on device, and on TPU
+the all_to_all DMA runs concurrently with the next chunk's VPU work).
+
+The per-chunk partials land pre-partitioned by key hash, so the final
+combine is one local grouped aggregate over the concatenated chunk results.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..exec.aggregate import grouped_aggregate
+from .dist_agg import _COMBINE
+from .shuffle import build_send_bins, hash_partition_ids
+
+
+@functools.lru_cache(maxsize=None)
+def _build_chunk_stage(mesh: Mesh, axis: str, fns: Tuple[str, ...], num_groups: int):
+    """Jitted: one chunk → exchanged partial groups (keys, aggs, valid)."""
+    n_parts = mesh.shape[axis]
+    specs = tuple((fns[i], i) for i in range(len(fns)))
+    n_cols = len(fns)
+    capacity = num_groups
+
+    def shard_fn(local_key, local_cols, local_mask):
+        _u, n_grp, rep, outs = grouped_aggregate(
+            (local_key,), local_cols, local_mask, num_groups, specs
+        )
+        pvalid = jnp.arange(num_groups) < n_grp
+        pkeys = local_key[jnp.clip(rep, 0, local_key.shape[0] - 1)]
+        part = hash_partition_ids(pkeys, n_parts)
+        payloads = (pkeys,) + tuple(outs) + (pvalid,)
+        bins, bvalid, _ = build_send_bins(part, payloads, n_parts, capacity)
+        ex = [
+            jax.lax.all_to_all(b, axis, split_axis=0, concat_axis=0, tiled=True)
+            for b in bins
+        ]
+        bx = jax.lax.all_to_all(bvalid, axis, split_axis=0, concat_axis=0, tiled=True)
+        k2 = ex[0].reshape(-1)
+        partials = tuple(e.reshape(-1) for e in ex[1 : 1 + n_cols])
+        valid = bx.reshape(-1) & ex[-1].reshape(-1)
+        return k2, partials, valid
+
+    col_specs = tuple(P(axis) for _ in range(n_cols))
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), col_specs, P(axis)),
+        out_specs=(P(axis), col_specs, P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_final(
+    mesh: Mesh, axis: str, fns: Tuple[str, ...], num_groups: int, n_chunks: int
+):
+    combine_specs = tuple((_COMBINE[fns[i]], i) for i in range(len(fns)))
+    n_cols = len(fns)
+
+    def shard_fn(*chunk_triples):
+        # concat the chunks' local partials (locality preserved per shard)
+        keys = jnp.concatenate([chunk_triples[3 * c] for c in range(n_chunks)])
+        cols = tuple(
+            jnp.concatenate(
+                [chunk_triples[3 * c + 1][i] for c in range(n_chunks)]
+            )
+            for i in range(n_cols)
+        )
+        valid = jnp.concatenate(
+            [chunk_triples[3 * c + 2] for c in range(n_chunks)]
+        )
+        _u, n_grp, rep, outs = grouped_aggregate(
+            (keys,), cols, valid, num_groups, combine_specs
+        )
+        fvalid = jnp.arange(num_groups) < n_grp
+        fkeys = keys[jnp.clip(rep, 0, keys.shape[0] - 1)]
+        return fkeys, tuple(outs), fvalid
+
+    col_specs = tuple(P(axis) for _ in range(n_cols))
+    in_specs = tuple(
+        spec for _ in range(n_chunks) for spec in (P(axis), col_specs, P(axis))
+    )
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(axis), col_specs, P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def pipelined_distributed_aggregate(
+    mesh: Mesh,
+    axis: str,
+    chunks: Iterable[Tuple[jax.Array, Dict[str, Tuple[str, jax.Array]], Optional[jax.Array]]],
+    num_groups: int = 4096,
+):
+    """Aggregate a stream of (key, values, mask) chunks across the mesh.
+
+    All chunk stages are dispatched before any result is awaited — the
+    exchange of one chunk overlaps the compute of the next.
+    """
+    agg_names = None
+    chunk_outs = []
+    fns = None
+    for key, values, mask in chunks:
+        if agg_names is None:
+            agg_names = tuple(values.keys())
+            fns = tuple(values[n][0] for n in agg_names)
+        cols = tuple(values[n][1] for n in agg_names)
+        stage = _build_chunk_stage(mesh, axis, fns, num_groups)
+        if mask is None:
+            mask = jnp.ones(key.shape, dtype=jnp.bool_)
+        chunk_outs.append(stage(key, cols, mask))  # async dispatch
+    if not chunk_outs:
+        return None
+    # final combine: per-shard local concat of chunk partials (already
+    # key-partitioned by the exchanges) + one grouped aggregate
+    final = _build_final(mesh, axis, fns, num_groups, len(chunk_outs))
+    flat_args = []
+    for k2, partials, valid in chunk_outs:
+        flat_args.extend([k2, partials, valid])
+    fkeys, fouts, fvalid = final(*flat_args)
+    result = {"keys": fkeys, "valid": fvalid}
+    for name, o in zip(agg_names, fouts):
+        result[name] = o
+    return result

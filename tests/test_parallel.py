@@ -127,3 +127,36 @@ def test_distributed_scan_aggregate_end_to_end(mesh, tmp_path):
             got[int(kk)] = int(t)
     exp = {int(k): int(val[key == k].sum()) for k in np.unique(key)}
     assert got == exp
+
+
+def test_pipelined_aggregate_matches(mesh):
+    from strawboat_tpu.parallel.pipeline import pipelined_distributed_aggregate
+
+    rng = np.random.default_rng(7)
+    n_chunks, per_chunk = 3, 8 * 512
+    keys_all, vals_all = [], []
+    chunks = []
+    for c in range(n_chunks):
+        k = rng.integers(0, 25, per_chunk).astype(np.int64)
+        v = rng.integers(0, 10**5, per_chunk).astype(np.int64)
+        keys_all.append(k)
+        vals_all.append(v)
+        chunks.append(
+            (
+                _shard(mesh, jnp.asarray(k)),
+                {"total": ("sum", _shard(mesh, jnp.asarray(v)))},
+                None,
+            )
+        )
+    res = pipelined_distributed_aggregate(mesh, "shards", chunks, num_groups=128)
+    got = {}
+    for kk, t, ok in zip(
+        np.asarray(res["keys"]), np.asarray(res["total"]), np.asarray(res["valid"])
+    ):
+        if ok:
+            assert int(kk) not in got
+            got[int(kk)] = int(t)
+    key = np.concatenate(keys_all)
+    val = np.concatenate(vals_all)
+    exp = {int(k): int(val[key == k].sum()) for k in np.unique(key)}
+    assert got == exp
