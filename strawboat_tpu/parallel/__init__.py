@@ -11,3 +11,4 @@ from .mesh import make_mesh, distributed_init  # noqa: F401
 from .shuffle import hash_partition_ids, shuffle_by_key  # noqa: F401
 from .dist_agg import distributed_aggregate  # noqa: F401
 from .pipeline import pipelined_distributed_aggregate  # noqa: F401
+from .dist_join import distributed_join  # noqa: F401

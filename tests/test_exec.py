@@ -284,3 +284,31 @@ def test_device_table_to_arrow(tmp_path):
     assert got.column("s").to_pylist() == exp_s
     exp_b = table.column("b").to_numpy()[sel]
     np.testing.assert_array_equal(got.column("b").to_numpy(zero_copy_only=False), exp_b)
+
+
+def test_hash_join_duplicate_build_keys(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from strawboat_tpu.exec import hash_join, scan_file
+    from strawboat_tpu.exec.aggregate import scalar_aggregate
+
+    rng = np.random.default_rng(13)
+    n, m = 2000, 300
+    probe = pa.table({"k": pa.array(rng.integers(0, 50, n).astype(np.int64))})
+    build_keys = rng.integers(0, 50, m).astype(np.int64)  # duplicates
+    build = pa.table(
+        {"k": pa.array(build_keys), "w": pa.array(rng.integers(1, 5, m).astype(np.int64))}
+    )
+    pp, bp_ = str(tmp_path / "p.str"), str(tmp_path / "b.str")
+    write_file(pp, probe, options=_opts())
+    write_file(bp_, build, options=_opts())
+    pt, bt = scan_file(pp), scan_file(bp_)
+    fan = int(np.bincount(build_keys).max())
+    pi, bi, valid = hash_join(pt, bt, on=("k", "k"), max_fanout=fan)
+    got = int(scalar_aggregate(bt["w"].values[bi], valid, "sum"))
+    pk = probe.column("k").to_numpy()
+    exp = sum(
+        int(build.column("w").to_numpy()[build_keys == k].sum()) for k in pk
+    )
+    assert got == exp

@@ -160,3 +160,30 @@ def test_pipelined_aggregate_matches(mesh):
     val = np.concatenate(vals_all)
     exp = {int(k): int(val[key == k].sum()) for k in np.unique(key)}
     assert got == exp
+
+
+def test_distributed_join_matches(mesh):
+    from strawboat_tpu.parallel.dist_join import distributed_join
+
+    rng = np.random.default_rng(17)
+    n, m = 8 * 512, 8 * 64
+    pk = rng.integers(0, 200, n).astype(np.int64)
+    pv = rng.integers(0, 1000, n).astype(np.int64)
+    bk_unique = rng.permutation(512)[:m].astype(np.int64)  # unique build keys
+    bw = rng.integers(1, 10, m).astype(np.int64)
+    key, out_p, out_b, valid = distributed_join(
+        mesh,
+        "shards",
+        _shard(mesh, jnp.asarray(pk)),
+        (_shard(mesh, jnp.asarray(pv)),),
+        _shard(mesh, jnp.asarray(bk_unique)),
+        (_shard(mesh, jnp.asarray(bw)),),
+        capacity_per_shard=512,
+    )
+    v = np.asarray(valid)
+    got = int((np.asarray(out_p[0])[v] * np.asarray(out_b[0])[v]).sum())
+    # numpy reference
+    wmap = {int(k): int(w) for k, w in zip(bk_unique, bw)}
+    exp = sum(int(val) * wmap[int(k)] for k, val in zip(pk, pv) if int(k) in wmap)
+    assert got == exp
+    assert int(v.sum()) == sum(1 for k in pk if int(k) in wmap)
