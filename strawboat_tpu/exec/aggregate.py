@@ -116,9 +116,25 @@ def hash_aggregate(
         key_cols, value_cols, mask, num_groups, agg_specs
     )
     result = {"keys": uniq, "n_groups": n_groups, "rep_rows": rep_rows}
+    # decoded per-key columns via each group's representative source row
+    safe_rep = jnp.clip(rep_rows, 0, max(len(table[keys[0]]) - 1, 0))
+    for k in keys:
+        result[f"key_{k}"] = table[k].values[safe_rep]
     for name, o in zip(aggs.keys(), outs):
         result[name] = o
     return result
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def list_segment_sum(
+    values: jax.Array, offsets: jax.Array, num_segments: int
+) -> jax.Array:
+    """Per-row sum over a flattened list column (offsets from DeviceListColumn)."""
+    n_vals = values.shape[0]
+    # segment id per flattened value: count of offsets <= position - 1
+    pos = jnp.arange(n_vals)
+    seg = jnp.searchsorted(offsets[1:], pos, side="right")
+    return jax.ops.segment_sum(values, seg, num_segments=num_segments)
 
 
 @functools.partial(jax.jit, static_argnames=("fn",))

@@ -312,3 +312,35 @@ def test_hash_join_duplicate_build_keys(tmp_path):
         int(build.column("w").to_numpy()[build_keys == k].sum()) for k in pk
     )
     assert got == exp
+
+
+def test_hash_aggregate_key_columns(scan_table):
+    from strawboat_tpu.exec import hash_aggregate, scan_file
+
+    path, table = scan_table
+    dt = scan_file(path)
+    res = hash_aggregate(
+        dt, keys=["lowcard"], aggs={"total": ("sum", "freq")}, num_groups=64
+    )
+    n = int(res["n_groups"])
+    keys_dec = np.asarray(res["key_lowcard"])[:n]
+    keys_raw = np.asarray(res["keys"])[:n]
+    np.testing.assert_array_equal(np.sort(keys_dec.astype(np.uint64)), np.sort(keys_raw))
+
+
+def test_list_segment_sum(tmp_path):
+    import pyarrow as pa
+
+    from strawboat_tpu.exec import scan_file
+    from strawboat_tpu.exec.aggregate import list_segment_sum
+
+    n = 500
+    data = [[i, i + 1, i + 2] if i % 4 else ([] if i % 2 else None) for i in range(n)]
+    table = pa.table({"l": pa.array(data, type=pa.list_(pa.int64()))})
+    path = str(tmp_path / "ls.str")
+    write_file(path, table, options=_opts())
+    dt = scan_file(path)
+    lc = dt["l"]
+    sums = np.asarray(list_segment_sum(lc.values, lc.offsets, len(lc)))
+    exp = [sum(x) if x else 0 for x in (d or [] for d in data)]
+    np.testing.assert_array_equal(sums, exp)
