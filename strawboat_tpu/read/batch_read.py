@@ -48,6 +48,8 @@ def batch_read_column(readers: List[NativeReader], field: pa.Field) -> Column:
         page_columns.append(assemble_column(field, leaves))
     if len(page_columns) == 1:
         return page_columns[0]
+    if not page_columns:
+        return from_arrow(pa.array([], type=field.type))
     combined = pa.concat_arrays([c.to_arrow() for c in page_columns])
     return from_arrow(combined)
 

@@ -41,7 +41,7 @@ def roundtrip(table: pa.Table, path: str, compression: Compression, ratio=1.0):
     write_file(path, table, options=opts)
     got_batch = read_table(path)
     assert got_batch.to_pylist() == table.to_pylist(), "batch read mismatch"
-    got_stream = pa.Table.from_batches(list(iter_batches(path)))
+    got_stream = pa.Table.from_batches(list(iter_batches(path)), schema=table.schema)
     assert got_stream.to_pylist() == table.to_pylist(), "stream read mismatch"
 
 
@@ -241,5 +241,16 @@ def test_non_nullable_fields(tmp_strawboat):
             ),
         },
         schema=schema,
+    )
+    roundtrip(table, tmp_strawboat, Compression.LZ4)
+
+
+def test_zero_row_table(tmp_strawboat):
+    table = pa.table(
+        {
+            "a": pa.array([], type=pa.int64()),
+            "s": pa.array([], type=pa.string()),
+            "l": pa.array([], type=pa.list_(pa.int32())),
+        }
     )
     roundtrip(table, tmp_strawboat, Compression.LZ4)
