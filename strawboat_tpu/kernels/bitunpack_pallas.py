@@ -45,17 +45,22 @@ def bitunpack_pallas_tmajor(wt: jax.Array, num_bits: int) -> jax.Array:
     assert n_lanes % LANE_TILE == 0
     rows = wt.shape[0]  # b padded up to a multiple of 8 (sublane tile)
     grid = (n_lanes // LANE_TILE,)
-    return pl.pallas_call(
-        functools.partial(_kernel, b),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((rows, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(
-            (32, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((32, n_lanes), jnp.uint32),
-    )(wt)
+    # Mosaic rejects i64 grid index maps; force 32-bit tracing locally even
+    # when the engine runs with global x64 enabled
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            functools.partial(_kernel, b),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (rows, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (32, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((32, n_lanes), jnp.uint32),
+        )(wt)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
