@@ -81,12 +81,39 @@ def q6_pruning_predicates():
 
 
 def q1(table, delta_days: int = 90):
-    """TPC-H Q1: pricing summary by (returnflag, linestatus)."""
+    """TPC-H Q1: pricing summary by (returnflag, linestatus).
+
+    Uses the MXU dense-code aggregation path (composite key
+    ``returnflag * 2 + linestatus`` has 6 dense values) — two orders of
+    magnitude less HBM traffic than sort-based grouping on TPU.
+    """
+    import jax.numpy as jnp
+
+    from ..exec import col
+    from ..exec.aggregate import dense_group_sum
+
+    cutoff = 2557 - delta_days
+    mask = (col("l_shipdate") <= cutoff).mask(table)
+    code = table["l_returnflag"].values * 2 + table["l_linestatus"].values
+    sum_qty, cnt = dense_group_sum(code, table["l_quantity"].values, 6, mask)
+    sum_base, _ = dense_group_sum(code, table["l_extendedprice"].values, 6, mask)
+    n_groups = jnp.sum((cnt > 0).astype(jnp.int32))
+    return {
+        "sum_qty": sum_qty,
+        "sum_base_price": sum_base,
+        "count_order": cnt,
+        "n_groups": n_groups,
+        "codes": jnp.arange(6),
+    }
+
+
+def q1_sort(table, delta_days: int = 90):
+    """Q1 via the general sort-based path (comparison baseline)."""
     from ..exec import col, hash_aggregate
 
     cutoff = 2557 - delta_days
     mask = (col("l_shipdate") <= cutoff).mask(table)
-    res = hash_aggregate(
+    return hash_aggregate(
         table,
         keys=["l_returnflag", "l_linestatus"],
         aggs={
@@ -97,7 +124,6 @@ def q1(table, delta_days: int = 90):
         num_groups=16,
         mask=mask,
     )
-    return res
 
 
 def generate_orders(scale: float, seed: int = 1, rows: Optional[int] = None) -> pa.Table:

@@ -9,5 +9,5 @@ values on device; filters and aggregates fuse behind the same jit boundary.
 from .scan import DeviceColumn, DeviceTable, scan_file  # noqa: F401
 from .query import Query  # noqa: F401
 from .expr import col, lit  # noqa: F401
-from .aggregate import hash_aggregate  # noqa: F401
+from .aggregate import hash_aggregate, dense_group_sum  # noqa: F401
 from .join import hash_join  # noqa: F401

@@ -70,8 +70,18 @@ def test_q1(lineitem_file):
             exp[(f, s)][1] += 1
     assert n_groups == len(exp)
     total_qty = sum(v[0] for v in exp.values())
-    got_total = int(np.asarray(res["sum_qty"])[:n_groups].sum())
+    got_total = int(np.asarray(res["sum_qty"]).sum())
     assert got_total == total_qty
+    # per-group exactness on the dense-code path
+    for (f, s_), (qty, cnt_) in exp.items():
+        code = int(f) * 2 + int(s_)
+        assert int(np.asarray(res["sum_qty"])[code]) == qty
+        assert int(np.asarray(res["count_order"])[code]) == cnt_
+    # sort-based path agrees
+    from strawboat_tpu.benchsuite.tpch import q1_sort
+
+    res2 = q1_sort(dt)
+    assert int(np.asarray(res2["sum_qty"])[: int(res2["n_groups"])].sum()) == total_qty
 
 
 def test_q3_like_join(tmp_path):
