@@ -127,11 +127,19 @@ def rle_expand_device(counts: jax.Array, values: jax.Array, total: int) -> jax.A
         jnp.arange(counts.shape[0], dtype=jnp.int32)
     )
     ids = jax.lax.cummax(marks[:total])
+    from .gather import MAX_MXU_TABLE, mxu_gather
+
+    if values.shape[0] <= MAX_MXU_TABLE and values.dtype.itemsize in (4, 8):
+        return mxu_gather(values, ids)
     return values[ids]
 
 
 @jax.jit
 def dict_gather_device(indices: jax.Array, dictionary: jax.Array) -> jax.Array:
+    from .gather import MAX_MXU_TABLE, mxu_gather
+
+    if dictionary.shape[0] <= MAX_MXU_TABLE and dictionary.dtype.itemsize in (4, 8):
+        return mxu_gather(dictionary, indices)
     return dictionary[indices]
 
 
