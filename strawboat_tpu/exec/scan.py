@@ -609,6 +609,63 @@ def _flatten_nested_device(name: str, col) -> list:
     return out
 
 
+def scan_chunks(
+    path: str,
+    chunk_pages: int,
+    columns: Optional[Sequence[str]] = None,
+    predicates: Optional[Sequence] = None,
+):
+    """Stream a file as a sequence of DeviceTables of ``chunk_pages`` pages.
+
+    For tables larger than HBM: each chunk decodes independently (page-grid
+    aligned across columns), so callers can feed a chunked pipeline
+    (``parallel.pipelined_distributed_aggregate``) or reduce incrementally.
+    """
+    with open(path, "rb") as f:
+        schema = infer_schema(f)
+        metas = read_meta(f)
+    n_pages = max((len(m.pages) for m in metas), default=0)
+    base_keep = None
+    if predicates:
+        from .pruning import prune_pages, read_zones
+
+        zones = read_zones(path)
+        if zones:
+            base_keep = prune_pages(zones, predicates, n_pages)
+    file_bytes = np.fromfile(path, dtype=np.uint8)
+    for start in range(0, n_pages, chunk_pages):
+        stop = min(start + chunk_pages, n_pages)
+        keep = np.zeros(n_pages, dtype=bool)
+        keep[start:stop] = True
+        if base_keep is not None:
+            keep &= base_keep
+        if not keep.any():
+            continue
+        out: Dict[str, DeviceColumn] = {}
+        num_rows = 0
+        i = 0
+        for field in schema:
+            n = n_leaf_columns(field.type)
+            meta = metas[i]
+            i += n
+            if columns is not None and field.name not in columns:
+                continue
+            if not is_primitive(field.type) or pa.types.is_null(field.type):
+                continue
+            if (
+                pa.types.is_string(field.type)
+                or pa.types.is_binary(field.type)
+                or pa.types.is_large_string(field.type)
+                or pa.types.is_large_binary(field.type)
+            ):
+                col = _decode_binary_column_device(file_bytes, meta, field, keep)
+            else:
+                col = decode_column_pages_device(file_bytes, meta, field, keep)
+            out[field.name] = col
+            num_rows = len(col)
+        yield DeviceTable(out, num_rows)
+
+
 def scan_file(
     path: str,
     columns: Optional[Sequence[str]] = None,

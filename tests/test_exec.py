@@ -344,3 +344,28 @@ def test_list_segment_sum(tmp_path):
     sums = np.asarray(list_segment_sum(lc.values, lc.offsets, len(lc)))
     exp = [sum(x) if x else 0 for x in (d or [] for d in data)]
     np.testing.assert_array_equal(sums, exp)
+
+
+def test_scan_chunks_streaming(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from strawboat_tpu.exec.scan import scan_chunks
+
+    rng = np.random.default_rng(41)
+    n = 10000
+    k = rng.integers(0, 9, n).astype(np.int64)
+    v = rng.integers(0, 10**6, n).astype(np.int64)
+    table = pa.table({"k": pa.array(k), "v": pa.array(v)})
+    path = str(tmp_path / "c.str")
+    write_file(path, table, options=_opts(max_page_size=1024))
+    total_rows = 0
+    total_v = 0
+    n_chunks = 0
+    for dt in scan_chunks(path, chunk_pages=3):
+        total_rows += len(dt["v"])
+        total_v += int(np.asarray(dt["v"].values).sum())
+        n_chunks += 1
+    assert total_rows == n
+    assert total_v == int(v.sum())
+    assert n_chunks == 4  # ceil(10 pages / 3)
