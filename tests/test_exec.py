@@ -358,7 +358,9 @@ def test_scan_chunks_streaming(tmp_path):
     v = rng.integers(0, 10**6, n).astype(np.int64)
     table = pa.table({"k": pa.array(k), "v": pa.array(v)})
     path = str(tmp_path / "c.str")
-    write_file(path, table, options=_opts(max_page_size=1024))
+    opts = _opts()
+    opts.max_page_size = 1024
+    write_file(path, table, options=opts)
     total_rows = 0
     total_v = 0
     n_chunks = 0
