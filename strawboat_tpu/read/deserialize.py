@@ -168,16 +168,30 @@ def assemble_column(
         size = t.list_size
         validity = _lvl_validity(level)
         if validity is not None and not validity.all():
-            # re-insert child slots dropped at write time for null rows
-            idx = np.full(level.length * size, -1, dtype=np.int64)
-            valid_rows = np.flatnonzero(validity)
-            dest = (valid_rows[:, None] * size + np.arange(size)[None, :]).reshape(-1)
-            idx[dest] = np.arange(len(valid_rows) * size, dtype=np.int64)
-            mask = idx < 0
-            took = child.to_arrow().take(
-                pa.array(np.where(mask, 0, idx), mask=mask)
+            # re-insert child slots dropped at write time for null rows.
+            # (pa.take with null indices corrupts map-typed children — build
+            # by concatenating valid-run slices with null runs instead.)
+            child_arrow = child.to_arrow()
+            null_run = pa.nulls(size, type=t.value_type)
+            parts = []
+            src = 0
+            run_valid = 0
+            for v in validity:
+                if v:
+                    run_valid += 1
+                    continue
+                if run_valid:
+                    parts.append(child_arrow.slice(src, run_valid * size))
+                    src += run_valid * size
+                    run_valid = 0
+                parts.append(null_run)
+            if run_valid:
+                parts.append(child_arrow.slice(src, run_valid * size))
+            child = from_arrow(
+                pa.concat_arrays([p.combine_chunks() if hasattr(p, "combine_chunks") else p for p in parts])
+                if len(parts) > 1
+                else parts[0]
             )
-            child = from_arrow(took)
         return FixedSizeListColumn(t, validity, size, child, level.length)
     if pa.types.is_map(t):
         level = leaves[0][0][depth]

@@ -148,41 +148,58 @@ def slice_nested(
     return out, leaf.slice(off, ln)
 
 
-def write_levels(nests: List[Nest]) -> Tuple[np.ndarray, np.ndarray]:
-    """Emit (rep, def) per record for a sliced nest chain (vectorized)."""
+def write_levels(nests: List[Nest]) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Emit (rep, def, leaf_elems) for a sliced nest chain (vectorized).
+
+    ``leaf_elems``: leaf-slot indices (local to the sliced leaf window) the
+    traversal reaches, in record order — exactly the values the page must
+    store.  Slots under null ancestors are excluded (parquet semantics; the
+    reader reconstructs the same count from the level stream).
+    """
     cum_sum, cum_rep = cum_sums(nests)
     n_rows = nests[0].length
     rep = np.zeros(n_rows, dtype=np.int64)
     deff = np.zeros(n_rows, dtype=np.int64)
     elem = np.arange(n_rows, dtype=np.int64)
     alive = np.ones(n_rows, dtype=bool)
+    # "frozen" records passed a null struct: they keep traversing 1:1 levels
+    # (their physical slots ARE stored — the reader's required-struct
+    # propagation re-creates them) but terminate at the next list level.
+    frozen = np.zeros(n_rows, dtype=bool)
+    leaf_elems = np.empty(0, dtype=np.int64)
     for depth, nest in enumerate(nests):
         if not alive.any():
             break
         if nest.kind == STRUCT:
             if nest.nullable:
+                act = alive & ~frozen
+                a_idx = np.flatnonzero(act)
                 valid = (
-                    nest.validity[elem[alive]]
+                    nest.validity[elem[a_idx]]
                     if nest.validity is not None
-                    else np.ones(int(alive.sum()), dtype=bool)
+                    else np.ones(len(a_idx), dtype=bool)
                 )
-                a_idx = np.flatnonzero(alive)
                 deff[a_idx[valid]] += 1
-                alive[a_idx[~valid]] = False
+                frozen[a_idx[~valid]] = True
             # required struct: descend unchanged
         elif nest.kind == PRIMITIVE:
+            leaf_elems = elem[alive]
             if nest.nullable:
+                act = alive & ~frozen
+                a_idx = np.flatnonzero(act)
                 valid = (
-                    nest.validity[elem[alive]]
+                    nest.validity[elem[a_idx]]
                     if nest.validity is not None
-                    else np.ones(int(alive.sum()), dtype=bool)
+                    else np.ones(len(a_idx), dtype=bool)
                 )
-                a_idx = np.flatnonzero(alive)
                 deff[a_idx[valid]] += 1
             alive[:] = False
         else:  # LIST
             list_rep = int(cum_rep[depth + 1])
             base_off = int(nest.offsets[0])
+            # frozen records terminate at a list level (reader pushes the
+            # empty list entry via propagation, then stops)
+            alive = alive & ~frozen
             a_idx = np.flatnonzero(alive)
             # elem holds row indices local to this level's window
             e = elem[a_idx]
@@ -212,6 +229,7 @@ def write_levels(nests: List[Nest]) -> Tuple[np.ndarray, np.ndarray]:
             deff_x = np.repeat(deff_new, counts)
             alive_x = np.repeat(alive_new, counts)
             elem_x = np.repeat(elem, counts)
+            frozen = np.repeat(frozen, counts)
             # positions within each expansion
             firsts = np.zeros(total, dtype=bool)
             firsts[np.cumsum(counts)[:-1]] = True
@@ -232,4 +250,4 @@ def write_levels(nests: List[Nest]) -> Tuple[np.ndarray, np.ndarray]:
             # descended records add nullable+repeated to def
             deff_x[desc_x] += int(nest.nullable) + 1
             rep, deff, elem, alive = rep_x, deff_x, elem_x, alive_x
-    return rep.astype(np.uint32), deff.astype(np.uint32)
+    return rep.astype(np.uint32), deff.astype(np.uint32), leaf_elems

@@ -56,7 +56,14 @@ def write_simple(leaf: Column, nest: Nest, options: WriteOptions) -> bytes:
 
 
 def write_nested_page(nests: List[Nest], leaf: Column, options: WriteOptions):
-    rep, deff = write_levels(nests)
+    rep, deff, leaf_elems = write_levels(nests)
+    # the page stores exactly the traversal-visited leaf slots; slots under
+    # null ancestors are dropped (the reader's level expansion re-inserts the
+    # structure without them)
+    if len(leaf_elems) != len(leaf) or (
+        len(leaf_elems) and (np.diff(leaf_elems) != 1).any()
+    ):
+        leaf = _take_leaf(leaf, leaf_elems)
     cum_sum, cum_rep = cum_sums(nests)
     rep_bytes = encode_levels(rep, get_bit_width(int(cum_rep[-1])))
     def_bytes = encode_levels(deff, get_bit_width(int(cum_sum[-1])))
@@ -69,6 +76,17 @@ def write_nested_page(nests: List[Nest], leaf: Column, options: WriteOptions):
     if not isinstance(leaf, NullColumn):
         out += _write_leaf_values(leaf, options)
     return bytes(out), len(rep)
+
+
+def _take_leaf(leaf: Column, elems: np.ndarray) -> Column:
+    """Gather leaf slots by index (null-ancestor compaction)."""
+    from ..columns import from_arrow
+
+    if len(elems) == 0:
+        return leaf.slice(0, 0)
+    if len(elems) and elems[0] >= 0 and (np.diff(elems) == 1).all():
+        return leaf.slice(int(elems[0]), len(elems))
+    return from_arrow(leaf.to_arrow().take(elems))
 
 
 def _validity_prelude(validity, length: int) -> bytes:
