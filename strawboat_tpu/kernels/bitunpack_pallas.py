@@ -84,3 +84,106 @@ def transpose_words_host(words: np.ndarray, b: int) -> np.ndarray:
     if pad:
         wt = np.pad(wt, ((0, 0), (0, pad)))
     return wt
+
+
+# ---------------------------------------------------------------------------
+# Tiled (3D) layout: roofline path.
+#
+# The 2D stripe layout above DMAs 16 strided 4KB strips per grid step; on a
+# real v5e that caps the kernel near ~470 GB/s.  Packing each grid step's
+# words contiguously as ``(n_tiles, b, TILE3D)`` makes every input/output DMA
+# one contiguous block, and for divisor widths (b | 32) the unpack becomes
+# 32/b full-tile shift+mask "plane" ops with contiguous sublane-range stores —
+# measured at the chip's practical streaming ceiling (~670 GB/s agg on v5e,
+# equal to an XLA xor-copy of the same footprint).
+#
+# Plane row order: output row p*b + j of a tile holds value t = j*(32//b) + p
+# (for divisor b); the general kernel writes rows in t order directly.
+# ``tiled_rows_to_t`` exposes the mapping; ``bitunpack_tiled_to_flat``
+# restores flat natural value order for consumers that need it.
+# ---------------------------------------------------------------------------
+
+TILE3D = 16384
+
+
+def transpose_words_host_tiled(
+    words: np.ndarray, b: int, tile: int = TILE3D
+) -> np.ndarray:
+    """(n_blocks * 4b,) packed words → (n_tiles, b, tile) contiguous tiles."""
+    wt = transpose_words_host(words, b)  # (b, n_lanes) lane-padded to 512
+    n_lanes = wt.shape[1]
+    pad = (-n_lanes) % tile
+    if pad:
+        wt = np.pad(wt, ((0, 0), (0, pad)))
+    n_tiles = wt.shape[1] // tile
+    return np.ascontiguousarray(
+        wt.reshape(b, n_tiles, tile).transpose(1, 0, 2)
+    )
+
+
+def _plane_kernel(b: int, wt_ref, out_ref):
+    """Divisor widths (b | 32): plane p is one full-tile shift+mask."""
+    w = wt_ref[0]  # (b, tile)
+    mask = jnp.uint32((1 << b) - 1) if b < 32 else jnp.uint32(0xFFFFFFFF)
+    for p in range(32 // b):
+        out_ref[0, p * b : (p + 1) * b, :] = (w >> jnp.uint32(p * b)) & mask
+
+
+def _rowloop_kernel(b: int, wt_ref, out_ref):
+    """General widths: per-value row extract with cross-word carry."""
+    w = wt_ref[0]  # (b, tile)
+    mask = jnp.uint32((1 << b) - 1) if b < 32 else jnp.uint32(0xFFFFFFFF)
+    for t in range(32):
+        s = t * b
+        w0, sh = s // 32, s % 32
+        v = w[w0, :] >> np.uint32(sh)
+        if sh + b > 32:
+            v = v | (w[w0 + 1, :] << np.uint32(32 - sh))
+        out_ref[0, t, :] = v & mask
+
+
+def tiled_rows_to_t(b: int) -> np.ndarray:
+    """row → value-index t mapping of the tiled kernel's 32 output rows."""
+    if 32 % b == 0:
+        P = 32 // b
+        rows = np.arange(32)
+        return (rows % b) * P + rows // b
+    return np.arange(32)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def bitunpack_pallas_tiled(wt3: jax.Array, num_bits: int) -> jax.Array:
+    """(n_tiles, b, tile) u32 → (n_tiles, 32, tile) values (row order per
+    ``tiled_rows_to_t``)."""
+    b = num_bits
+    n_tiles, rows, tile = wt3.shape
+    kern = _plane_kernel if 32 % b == 0 else _rowloop_kernel
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            functools.partial(kern, b),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, rows, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 32, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, 32, tile), jnp.uint32),
+        )(wt3)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def bitunpack_tiled_to_flat(out3: jax.Array, num_bits: int) -> jax.Array:
+    """Tiled kernel output → flat natural value order (padded length).
+
+    value index = 128*block + 4*t + l where lane = 4*block + l; lanes run
+    tile-major across out3's last axis."""
+    n_tiles, _, tile = out3.shape
+    n_lanes = n_tiles * tile
+    inv = np.argsort(tiled_rows_to_t(num_bits))  # row holding value t
+    tm = jnp.swapaxes(out3, 0, 1)[jnp.asarray(inv)].reshape(32, n_lanes)
+    n_blocks = n_lanes // 4
+    nat = jnp.swapaxes(tm.reshape(32, n_blocks, 4), 0, 1).reshape(-1)
+    return nat

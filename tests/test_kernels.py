@@ -132,3 +132,38 @@ def test_bitunpack_pallas_interpret():
             ].reshape(n_blocks, 128)
             np.testing.assert_array_equal(got, vals, err_msg=str(b))
     importlib.reload(m)
+
+
+def test_bitunpack_pallas_tiled_interpret():
+    """Tiled (3D) plane/rowloop kernels + flat-order restore, interpreted."""
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    with mock.patch.object(pl, "pallas_call", patched):
+        import importlib
+
+        from strawboat_tpu.kernels import bitunpack_pallas as m
+
+        importlib.reload(m)
+        rng = np.random.default_rng(1)
+        for b in (1, 2, 4, 8, 16, 32, 5, 13, 27):
+            n_blocks = 64
+            vals = rng.integers(
+                0, 1 << b if b < 32 else 1 << 32, (n_blocks, 128), dtype=np.uint64
+            ).astype(np.uint32)
+            packed = b"".join(pack_block128(v, b) for v in vals)
+            wt3 = m.transpose_words_host_tiled(
+                np.frombuffer(packed, np.uint32), b, tile=512
+            )
+            out3 = m.bitunpack_pallas_tiled(jnp.asarray(wt3), b)
+            flat = np.asarray(m.bitunpack_tiled_to_flat(out3, b))
+            got = flat[: n_blocks * 128].reshape(n_blocks, 128)
+            np.testing.assert_array_equal(got, vals, err_msg=str(b))
+    importlib.reload(m)
