@@ -31,6 +31,7 @@ from ..schema import is_primitive, n_leaf_columns
 from ..util import roaring
 from ..kernels.decode import (
     bitunpack_device,
+    bitunpack_natural_device,
     delta_bitunpack_device,
     dict_gather_device,
     freq_scatter_device,
@@ -227,11 +228,10 @@ def _decode_structured_to_device(
                 .copy()
                 .view(np.uint32)
             )
-            wdev = jnp.asarray(words)
             if codec == Compression.BITPACKING:
-                out = bitunpack_device(wdev, b).reshape(-1)[:length]
+                out = bitunpack_natural_device(words, b)[:length]
             else:
-                out = delta_bitunpack_device(wdev, b)[:length]
+                out = delta_bitunpack_device(words, b)[:length]
         else:
             # mixed widths: pad each block's words to the max width
             bmax = max(nbs)
@@ -304,7 +304,8 @@ def _decode_bp_group_arrays(bp_jobs):
     for gkey, jobs in groups.items():
         codec, b = gkey
         all_words = np.concatenate([j[2] for j in jobs], axis=0)
-        dec = bitunpack_device(jnp.asarray(all_words), b)
+        n_group_vals = all_words.shape[0] * 128
+        dec = bitunpack_natural_device(all_words, b)[:n_group_vals]
         if codec == Compression.DELTA_BITPACKING:
             flat = dec.reshape(-1)
             starts = np.cumsum([0] + [j[3] * 128 for j in jobs])

@@ -106,10 +106,50 @@ def bitunpack_flat_device(words: jax.Array, num_bits: int) -> jax.Array:
     return ((vals | hi_part) & mask).reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def delta_bitunpack_device(words: jax.Array, num_bits: int) -> jax.Array:
+def bitunpack_natural_device(words: np.ndarray, num_bits: int) -> jax.Array:
+    """Fast natural-order unpack of uniform-width blocks from HOST words.
+
+    words: (n_blocks, num_bits*4) u32 numpy (header-stripped block bodies).
+    Returns a flat (>= n_blocks*128,) u32 device array in natural value order
+    (callers slice to the true length).
+
+    On TPU this relayouts once on the host (contiguous tiles) and runs the
+    roofline pallas plane/rowloop kernel (HBM traffic in + 3*out incl. the
+    order restore) — the pure-XLA ``bitunpack_device`` pays a ~32x tiling tax
+    on its (n_blocks, b, 4) lane axis.  Non-TPU backends (tests run on CPU)
+    fall back to the XLA kernel.
+    """
+    b = num_bits
+    n_blocks = words.shape[0]
+    if b == 0:
+        return jnp.zeros((n_blocks * BLOCK_LEN,), dtype=jnp.uint32)
+    if jax.default_backend() == "tpu":
+        try:
+            from .bitunpack_pallas import (
+                TILE3D,
+                bitunpack_pallas_tiled,
+                bitunpack_tiled_to_flat,
+                transpose_words_host_tiled,
+            )
+
+            n_lanes = n_blocks * 4
+            tile = min(TILE3D, max(512, 1 << (n_lanes - 1).bit_length()))
+            wt3 = transpose_words_host_tiled(words.reshape(-1), b, tile=tile)
+            out3 = bitunpack_pallas_tiled(jnp.asarray(wt3), b)
+            return bitunpack_tiled_to_flat(out3, b)
+        except Exception:  # Mosaic lowering failure → XLA fallback
+            pass
+    return bitunpack_device(jnp.asarray(words), b).reshape(-1)
+
+
+def delta_bitunpack_device(words, num_bits: int) -> jax.Array:
     """Delta-bitpacked blocks → values via global prefix sum (mod 2^32)."""
-    deltas = bitunpack_device(words, num_bits).reshape(-1)
+    if isinstance(words, np.ndarray):
+        deltas = bitunpack_natural_device(words, num_bits)[
+            : words.shape[0] * BLOCK_LEN
+        ]
+    else:
+        deltas = bitunpack_device(words, num_bits).reshape(-1)
     return jnp.cumsum(deltas.astype(jnp.uint32), dtype=jnp.uint32)
 
 
