@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 import pyarrow as pa
 
+from .. import native
 from ..codecs import read_header
 from ..codecs import common as common_codec
 from ..codecs.double import patas_decode
@@ -212,13 +213,9 @@ def _decode_structured_to_device(
 
     if codec in (Compression.BITPACKING, Compression.DELTA_BITPACKING):
         n_blocks = (length + 127) // 128
-        # parse block headers; fast path: uniform num_bits
-        nbs = []
-        p = body
-        for _ in range(n_blocks):
-            nb = int(buf[p])
-            nbs.append(nb)
-            p += 1 + nb * 16
+        # parse block headers (native walk); fast path: uniform num_bits
+        nbs_arr, _bp_end = native.bp_walk(buf, body, n_blocks)
+        nbs = nbs_arr.tolist()
         if len(set(nbs)) == 1:
             b = nbs[0]
             stride = 1 + b * 16
@@ -272,15 +269,10 @@ def _decode_structured_to_device(
 def _parse_uniform_bp_page(buf, body: int, length: int):
     """If every block of a bitpacked page shares one width → (words, n_blocks, b)."""
     n_blocks = (length + 127) // 128
-    nbs = []
-    p = body
-    for _ in range(n_blocks):
-        nb = int(buf[p])
-        nbs.append(nb)
-        p += 1 + nb * 16
-    if len(set(nbs)) != 1 or nbs[0] == 0:
+    nbs, _end = native.bp_walk(buf, body, n_blocks)
+    b = int(nbs[0])
+    if b == 0 or not (nbs == nbs[0]).all():
         return None
-    b = nbs[0]
     stride = 1 + b * 16
     body_arr = np.frombuffer(buf, np.uint8, n_blocks * stride, body)
     words = body_arr.reshape(n_blocks, stride)[:, 1:].copy().view(np.uint32)

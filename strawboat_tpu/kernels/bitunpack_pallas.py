@@ -151,6 +151,25 @@ def tiled_rows_to_t(b: int) -> np.ndarray:
     return np.arange(32)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def transpose_words_device_tiled(
+    words: jax.Array, b: int, tile: int = TILE3D
+) -> jax.Array:
+    """Device-side relayout: flat packed words → (n_tiles, b, tile) tiles.
+
+    One fused XLA transpose (r+w of the input at streaming bandwidth, ~100x
+    cheaper than the numpy pad+transpose it replaces on the host path)."""
+    n_blocks = words.shape[0] // (4 * b)
+    wt = jnp.swapaxes(words.reshape(n_blocks, b, 4), 0, 1).reshape(
+        b, n_blocks * 4
+    )
+    pad = (-(n_blocks * 4)) % tile
+    if pad:
+        wt = jnp.pad(wt, ((0, 0), (0, pad)))
+    n_tiles = wt.shape[1] // tile
+    return jnp.swapaxes(wt.reshape(b, n_tiles, tile), 0, 1)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def bitunpack_pallas_tiled(wt3: jax.Array, num_bits: int) -> jax.Array:
     """(n_tiles, b, tile) u32 → (n_tiles, 32, tile) values (row order per

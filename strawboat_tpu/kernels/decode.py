@@ -129,13 +129,15 @@ def bitunpack_natural_device(words: np.ndarray, num_bits: int) -> jax.Array:
                 TILE3D,
                 bitunpack_pallas_tiled,
                 bitunpack_tiled_to_flat,
-                transpose_words_host_tiled,
+                transpose_words_device_tiled,
             )
 
             n_lanes = n_blocks * 4
             tile = min(TILE3D, max(512, 1 << (n_lanes - 1).bit_length()))
-            wt3 = transpose_words_host_tiled(words.reshape(-1), b, tile=tile)
-            out3 = bitunpack_pallas_tiled(jnp.asarray(wt3), b)
+            wt3 = transpose_words_device_tiled(
+                jnp.asarray(words.reshape(-1)), b, tile
+            )
+            out3 = bitunpack_pallas_tiled(wt3, b)
             return bitunpack_tiled_to_flat(out3, b)
         except Exception:  # Mosaic lowering failure → XLA fallback
             pass

@@ -102,6 +102,14 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64,
                 ctypes.c_void_p,
             ]
+        lib.sb_bp_walk.restype = ctypes.c_int64
+        lib.sb_bp_walk.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -143,6 +151,40 @@ def decompress_batch(codec: int, inputs, out_lens, n_threads: int = 0):
 
         raise OutOfSpecError(f"native batch decompression failed (rc={rc})")
     return outs
+
+
+def bp_walk(buf: np.ndarray, body: int, n_blocks: int):
+    """Walk bitpacked block headers → (nbs u8 array, end offset).
+
+    Native when available (the per-block Python loop costs ~1us/block);
+    pure-Python fallback otherwise.  Raises on truncated input.
+    """
+    lib = _load()
+    if lib is not None:
+        nbs = np.empty(n_blocks, dtype=np.uint8)
+        end = lib.sb_bp_walk(
+            buf.ctypes.data_as(ctypes.c_void_p),
+            buf.size,
+            body,
+            n_blocks,
+            nbs.ctypes.data_as(ctypes.c_void_p),
+        )
+        if end < 0:
+            from ..errors import OutOfSpecError
+
+            raise OutOfSpecError("bitpacked page truncated")
+        return nbs, int(end)
+    nbs = np.empty(n_blocks, dtype=np.uint8)
+    p = body
+    for i in range(n_blocks):
+        if p >= buf.size:
+            from ..errors import OutOfSpecError
+
+            raise OutOfSpecError("bitpacked page truncated")
+        nb = int(buf[p])
+        nbs[i] = nb
+        p += 1 + nb * 16
+    return nbs, p
 
 
 def int_stats_native(values: np.ndarray, validity: Optional[np.ndarray]):

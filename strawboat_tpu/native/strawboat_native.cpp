@@ -313,3 +313,17 @@ extern "C" int sb_int_stats_u64(const uint64_t* vals, const uint8_t* validity,
   int_stats_impl<uint64_t>(vals, validity, n, out);
   return 0;
 }
+// Walk bitpacked block headers: per 128-value block [u8 num_bits][nb*16 bytes].
+// Writes each block's num_bits and returns the end offset (or -1 if the walk
+// runs past buf_len — corrupt input).
+extern "C" int64_t sb_bp_walk(const uint8_t* buf, int64_t buf_len, int64_t body,
+                              int64_t n_blocks, uint8_t* nbs_out) {
+  int64_t p = body;
+  for (int64_t i = 0; i < n_blocks; i++) {
+    if (p >= buf_len) return -1;
+    uint8_t nb = buf[p];
+    nbs_out[i] = nb;
+    p += 1 + (int64_t)nb * 16;
+  }
+  return p <= buf_len ? p : -1;
+}
