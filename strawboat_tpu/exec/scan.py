@@ -323,6 +323,40 @@ def _decode_bp_group_arrays(bp_jobs):
     return group_arrays, page_ref
 
 
+def _decode_dict_group_arrays(dict_jobs, np_dtype, group_arrays, page_ref):
+    """Decode many dict pages with one unpack + one gather per index width.
+
+    Uploads only packed index bits + concatenated dictionaries; per-page
+    dictionaries are addressed by adding each page's base offset to its codes
+    (one ``jnp.repeat`` of the static page-slot sizes).  Extends
+    ``group_arrays``/``page_ref`` in place with ``("dict", b)`` groups.
+    """
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for job in dict_jobs:
+        groups[job[3]].append(job)  # key: index bit width
+    for b, jobs in groups.items():
+        all_words = np.concatenate([j[1] for j in jobs], axis=0)
+        total = all_words.shape[0] * 128
+        codes = bitunpack_natural_device(all_words, b)[:total].astype(jnp.int32)
+        dicts = [j[5] for j in jobs]
+        bases = np.zeros(len(jobs), dtype=np.int32)
+        bases[1:] = np.cumsum([len(d) for d in dicts[:-1]])
+        slot_sizes = np.asarray([j[2] * 128 for j in jobs])
+        base_rep = jnp.repeat(
+            jnp.asarray(bases), jnp.asarray(slot_sizes), total_repeat_length=total
+        )
+        all_dict = jnp.asarray(np.concatenate(dicts))
+        dec = dict_gather_device(codes + base_rep, all_dict)
+        gkey = ("dict", b)
+        group_arrays[gkey] = dec
+        off = 0
+        for idx, _w, n_blocks, _b, length, _d in jobs:
+            page_ref[idx] = (gkey, off, n_blocks * 128)
+            off += n_blocks * 128
+
+
 def decode_column_pages_device(
     file_bytes: np.ndarray,
     meta: ColumnMeta,
@@ -360,6 +394,7 @@ def decode_column_pages_device(
     # batched native decompression for raw-codec primitive pages
     raw_jobs = []
     bp_jobs = []  # (idx, codec, words, n_blocks, num_bits, length)
+    dict_jobs = []  # (idx, words, n_blocks, idx_bits, length, dict_vals)
     for idx, (length, _v, buf, p) in enumerate(plans):
         if pa.types.is_boolean(dtype):
             continue
@@ -370,6 +405,23 @@ def decode_column_pages_device(
             parsed = _parse_uniform_bp_page(buf, body, length)
             if parsed is not None:
                 bp_jobs.append((idx, codec, *parsed, length))
+        elif codec == Compression.DICT and np_dtype is not None:
+            # dict page whose index subpage is uniform bitpack: upload only
+            # the packed index bits + the (small) dictionary, decode + gather
+            # on device — instead of host-decoding and uploading 8B/row
+            icodec, icsize, _ius, ibody = read_header(buf, body)
+            if icodec == Compression.BITPACKING:
+                parsed = _parse_uniform_bp_page(buf, ibody, length)
+                if parsed is not None:
+                    words, n_blocks, b = parsed
+                    vpos = ibody + icsize
+                    count = int(np.frombuffer(buf, "<u4", 1, vpos)[0])
+                    dvals = np.frombuffer(
+                        buf, np_dtype, count, vpos + 4
+                    ).copy()
+                    if count == 0:  # all-null page: codes are 0
+                        dvals = np.zeros(1, dtype=np_dtype)
+                    dict_jobs.append((idx, words, n_blocks, b, length, dvals))
     raw_results = {}
     if len(raw_jobs) > 1:
         from .. import native
@@ -387,6 +439,10 @@ def decode_column_pages_device(
     bp_page_ref = {}
     if len(bp_jobs) > 1:
         bp_group_arrays, bp_page_ref = _decode_bp_group_arrays(bp_jobs)
+    if dict_jobs:
+        _decode_dict_group_arrays(
+            dict_jobs, np_dtype, bp_group_arrays, bp_page_ref
+        )
 
     # assembly: host parts concatenate in numpy (1 upload), device parts from
     # fused group kernels; per-page eager jax ops are the enemy here
