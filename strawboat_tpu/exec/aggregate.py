@@ -102,15 +102,25 @@ def hash_aggregate(
 ):
     """Group-by aggregate over a DeviceTable.
 
-    aggs: out_name -> (fn, column);  fn in {sum, min, max, count}.
+    aggs: out_name -> (fn, column);  fn in {sum, min, max, count, avg}.
     Returns dict with 'keys' (u64 composite), 'n_groups', per-agg arrays, and
     'rep_rows' (a representative source row per group, for key readback).
     """
     key_cols = tuple(table[k].values for k in keys)
-    value_names = [c for (_, c) in aggs.values()]
+    # avg lowers to sum/count over the same sorted pass
+    lowered: Dict[str, Tuple[str, str]] = {}
+    avg_names = []
+    for name, (fn, c) in aggs.items():
+        if fn in ("avg", "mean"):
+            lowered[f"__{name}_sum"] = ("sum", c)
+            lowered[f"__{name}_cnt"] = ("count", c)
+            avg_names.append(name)
+        else:
+            lowered[name] = (fn, c)
+    value_names = [c for (_, c) in lowered.values()]
     value_cols = tuple(table[c].values for c in value_names)
     agg_specs = tuple(
-        (fn, value_names.index(c)) for (fn, c) in aggs.values()
+        (fn, value_names.index(c)) for (fn, c) in lowered.values()
     )
     uniq, n_groups, rep_rows, outs = grouped_aggregate(
         key_cols, value_cols, mask, num_groups, agg_specs
@@ -120,8 +130,13 @@ def hash_aggregate(
     safe_rep = jnp.clip(rep_rows, 0, max(len(table[keys[0]]) - 1, 0))
     for k in keys:
         result[f"key_{k}"] = table[k].values[safe_rep]
-    for name, o in zip(aggs.keys(), outs):
+    for name, o in zip(lowered.keys(), outs):
         result[name] = o
+    for name in avg_names:
+        s = result.pop(f"__{name}_sum")
+        c = result.pop(f"__{name}_cnt")
+        ftype = s.dtype if jnp.issubdtype(s.dtype, jnp.floating) else jnp.float64
+        result[name] = s.astype(ftype) / jnp.maximum(c, 1).astype(ftype)
     return result
 
 
@@ -232,7 +247,7 @@ def scalar_aggregate(values: jax.Array, mask: Optional[jax.Array], fn: str):
         return jnp.min(values)
     if fn == "max":
         return jnp.max(values)
-    if fn == "mean":
+    if fn in ("mean", "avg"):
         if mask is None:
             return jnp.mean(values)
         s = jnp.sum(jnp.where(mask, values, 0))

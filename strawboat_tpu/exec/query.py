@@ -19,6 +19,7 @@ from typing import Dict, List, Optional, Tuple
 from .aggregate import hash_aggregate, scalar_aggregate
 from .expr import Expr
 from .scan import DeviceTable, scan_file
+from .sort import sort_indices, sort_table, take_table
 
 
 @dataclass
@@ -29,6 +30,9 @@ class Query:
     _keys: List[str] = field(default_factory=list)
     _aggs: Dict[str, Tuple[str, str]] = field(default_factory=dict)
     _num_groups: int = 65536
+    _order: List = field(default_factory=list)
+    _limit: Optional[int] = None
+    _distinct: bool = False
 
     def select(self, *columns: str) -> "Query":
         self._columns = list(columns)
@@ -49,6 +53,21 @@ class Query:
         self._aggs.update(aggs)
         return self
 
+    def order_by(self, *items) -> "Query":
+        """items: column name or (name, "desc").  On grouped queries the
+        names refer to aggregate outputs / ``key_<col>`` columns."""
+        self._order = list(items)
+        return self
+
+    def limit(self, n: int) -> "Query":
+        self._limit = int(n)
+        return self
+
+    def distinct(self, num_groups: int = 65536) -> "Query":
+        self._distinct = True
+        self._num_groups = num_groups
+        return self
+
     # -- execution ------------------------------------------------------
 
     def scan(self) -> DeviceTable:
@@ -59,25 +78,51 @@ class Query:
     def run(self):
         table = self.scan()
         mask = self._filter.mask(table) if self._filter is not None else None
+        if self._distinct and not self._keys:
+            cols = self._columns or list(table.columns.keys())
+            self._keys = cols
+            self._aggs = self._aggs or {"count": ("count", cols[0])}
         if self._keys:
-            return hash_aggregate(
+            res = hash_aggregate(
                 table,
                 keys=self._keys,
                 aggs=self._aggs,
                 num_groups=self._num_groups,
                 mask=mask,
             )
+            if self._order or self._limit is not None:
+                res = _order_grouped(res, self._order, self._limit)
+            return res
         if self._aggs:
             return {
                 name: scalar_aggregate(table[c].values, mask, fn)
                 for name, (fn, c) in self._aggs.items()
             }
+        if self._order:
+            idx, taken_valid = sort_table(table, self._order, mask, self._limit)
+            return take_table(table, idx), taken_valid
+        if self._limit is not None:
+            import jax.numpy as jnp
+
+            if mask is not None:
+                # first _limit selected rows: stable order of surviving rows
+                idx = jnp.nonzero(mask, size=self._limit, fill_value=0)[0]
+                taken = jnp.arange(self._limit) < jnp.sum(mask.astype(jnp.int64))
+                return take_table(table, idx), taken
+            n = min(self._limit, table.num_rows)
+            return take_table(table, jnp.arange(n)), None
         # projection query: return the table + selection mask
         return table, mask
 
     def _referenced_columns(self) -> Optional[List[str]]:
         if self._columns is not None:
-            return self._columns
+            cols = list(self._columns)
+            if self._order and not self._keys:
+                for item in self._order:
+                    name = item[0] if isinstance(item, tuple) else item
+                    if name not in cols:
+                        cols.append(name)
+            return cols
         if not self._keys and not self._aggs:
             return None
         # scan everything a filter might touch: without expression column
@@ -88,3 +133,40 @@ class Query:
         for fn, c in self._aggs.values():
             cols.add(c)
         return sorted(cols)
+
+
+def _order_grouped(res: Dict, order: List, limit: Optional[int]):
+    """Sort a grouped-aggregate result dict by output columns (+ LIMIT).
+
+    Only the first ``n_groups`` slots are real groups; the rest sort last.
+    """
+    import jax.numpy as jnp
+
+    from .sort import sort_indices
+
+    cap = res["keys"].shape[0]
+    valid = jnp.arange(cap) < res["n_groups"]
+    if order:
+        names, desc = [], []
+        for item in order:
+            if isinstance(item, tuple):
+                names.append(item[0])
+                desc.append(str(item[1]).lower().startswith("desc"))
+            else:
+                names.append(item)
+                desc.append(False)
+        cols = tuple(res[n] for n in names)
+        idx = sort_indices(cols, tuple(desc), valid, limit)
+    else:
+        idx = jnp.arange(cap if limit is None else min(limit, cap))
+    out = {}
+    for k, v in res.items():
+        if k == "n_groups":
+            out[k] = jnp.minimum(v, idx.shape[0])
+            continue
+        if hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == cap:
+            out[k] = v[idx]
+        else:
+            out[k] = v
+    out["taken_valid"] = valid[idx]
+    return out
