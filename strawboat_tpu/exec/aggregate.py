@@ -99,12 +99,16 @@ def hash_aggregate(
     aggs: Dict[str, Tuple[str, str]],
     num_groups: int = 65536,
     mask: Optional[jax.Array] = None,
+    on_overflow: str = "grow",
 ):
     """Group-by aggregate over a DeviceTable.
 
     aggs: out_name -> (fn, column);  fn in {sum, min, max, count, avg}.
     Returns dict with 'keys' (u64 composite), 'n_groups', per-agg arrays, and
     'rep_rows' (a representative source row per group, for key readback).
+    More distinct keys than ``num_groups`` never pass silently:
+    ``on_overflow="grow"`` (default) doubles the capacity and re-runs,
+    ``"raise"`` raises :class:`CapacityError`.
     """
     key_cols = tuple(table[k].values for k in keys)
     # avg lowers to sum/count over the same sorted pass
@@ -122,9 +126,19 @@ def hash_aggregate(
     agg_specs = tuple(
         (fn, value_names.index(c)) for (fn, c) in lowered.values()
     )
-    uniq, n_groups, rep_rows, outs = grouped_aggregate(
-        key_cols, value_cols, mask, num_groups, agg_specs
-    )
+    from ..errors import CapacityError
+
+    cap = num_groups
+    while True:
+        uniq, n_groups, rep_rows, outs = grouped_aggregate(
+            key_cols, value_cols, mask, cap, agg_specs
+        )
+        need = int(jax.device_get(n_groups))
+        if need <= cap:
+            break
+        if on_overflow == "raise":
+            raise CapacityError("aggregate groups", cap, need)
+        cap = 1 << (need - 1).bit_length()
     result = {"keys": uniq, "n_groups": n_groups, "rep_rows": rep_rows}
     # decoded per-key columns via each group's representative source row
     safe_rep = jnp.clip(rep_rows, 0, max(len(table[keys[0]]) - 1, 0))

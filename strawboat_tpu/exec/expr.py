@@ -31,6 +31,9 @@ class Expr:
     # prunable conjunctive atoms (column-vs-literal comparisons); only sound
     # under AND composition — OR/NOT clear them
     atoms: tuple = ()
+    # column names this expression reads (projection pushdown); sound under
+    # every composition — refs only ever accumulate
+    refs: tuple = ()
 
     def _bin(self, other: "Expr", op) -> "Expr":
         other_e = _as_expr(other)
@@ -54,7 +57,7 @@ class Expr:
             atoms = (Comparison(self.name, opname, float(other)),)
         if op is jnp.logical_and:
             atoms = self.atoms + other_e.atoms
-        return Expr(f, atoms)
+        return Expr(f, atoms, self.refs + other_e.refs)
 
     def __gt__(self, o):
         return self._bin(o, jnp.greater)
@@ -97,7 +100,7 @@ class Expr:
             v, m = self.fn(t)
             return jnp.logical_not(v), m
 
-        return Expr(f)
+        return Expr(f, refs=self.refs)
 
     def is_null(self) -> "Expr":
         def f(t):
@@ -107,7 +110,7 @@ class Expr:
                 return jnp.zeros(v.shape, dtype=jnp.bool_), None
             return jnp.logical_not(m), None
 
-        return Expr(f)
+        return Expr(f, refs=self.refs)
 
     def evaluate(self, table) -> jax.Array:
         v, _ = self.fn(table)
@@ -139,7 +142,7 @@ def col(name: str) -> Expr:
         c = t[name]
         return c.values, c.validity
 
-    return ColExpr(f, name=name)
+    return ColExpr(f, refs=(name,), name=name)
 
 
 @dataclass(frozen=True)
@@ -157,17 +160,15 @@ class ColExpr(Expr):
             if c.dictionary is not None:
                 import pyarrow as pa
 
-                d = c.dictionary.cast(pa.large_binary())
-                for i in range(len(d)):
-                    if d[i].as_py() == lit_val:
-                        code = i
-                        break
+                # C++ linear probe of the (small) dictionary — no Python loop
+                found = c.dictionary.cast(pa.large_binary()).index(lit_val).as_py()
+                code = -1 if found is None else int(found)
             eq = jnp.equal(c.values, jnp.int32(code))
             if code < 0:
                 eq = jnp.zeros(c.values.shape, dtype=jnp.bool_)
             return (jnp.logical_not(eq) if negate else eq), c.validity
 
-        return Expr(f)
+        return Expr(f, refs=(self.name,))
 
     def __eq__(self, o):  # type: ignore[override]
         if isinstance(o, (str, bytes)):
@@ -183,23 +184,30 @@ class ColExpr(Expr):
         def f(t):
             c = t[self.name]
             if c.dictionary is not None:
+                import numpy as np
                 import pyarrow as pa
+                import pyarrow.compute as pc
 
-                lits = {
+                lits = [
                     v.encode() if isinstance(v, str) else v for v in values
-                }
-                d = c.dictionary.cast(pa.large_binary())
-                codes = [i for i in range(len(d)) if d[i].as_py() in lits]
-                m = jnp.zeros(c.values.shape, dtype=jnp.bool_)
-                for code in codes:
-                    m = jnp.logical_or(m, c.values == jnp.int32(code))
-                return m, c.validity
+                ]
+                # vectorized dict membership (C++), then one device isin
+                hit = pc.is_in(
+                    c.dictionary.cast(pa.large_binary()),
+                    value_set=pa.array(lits, pa.large_binary()),
+                )
+                codes = np.flatnonzero(
+                    hit.to_numpy(zero_copy_only=False)
+                ).astype(np.int32)
+                if codes.size == 0:
+                    return jnp.zeros(c.values.shape, dtype=jnp.bool_), c.validity
+                return jnp.isin(c.values, jnp.asarray(codes)), c.validity
             m = jnp.zeros(c.values.shape, dtype=jnp.bool_)
             for v in values:
                 m = jnp.logical_or(m, c.values == v)
             return m, c.validity
 
-        return Expr(f)
+        return Expr(f, refs=(self.name,))
 
 
 def lit(value) -> Expr:

@@ -24,9 +24,11 @@ def _join_indices(
 ):
     """Inner-join row indices.
 
-    Returns (probe_idx, build_idx, valid) each of shape
+    Returns (probe_idx, build_idx, valid, max_run) each index array of shape
     (n_probe * max_fanout,): for every probe row, up to ``max_fanout``
-    matching build rows (beyond that are dropped — size via planning stats).
+    matching build rows.  ``max_run`` is the true largest match count per
+    probe key — when it exceeds ``max_fanout``, matches were truncated and
+    the caller must retry with a larger fan-out (``hash_join`` does).
     """
     order = jnp.argsort(build_keys)
     sk = build_keys[order]
@@ -41,10 +43,12 @@ def _join_indices(
     probe_idx = jnp.broadcast_to(
         jnp.arange(n_probe, dtype=lo.dtype)[:, None], idx.shape
     )
+    max_run = jnp.max(hi - lo) if n_probe else jnp.zeros((), lo.dtype)
     return (
         probe_idx.reshape(-1),
         build_idx.reshape(-1),
         valid.reshape(-1),
+        max_run.astype(jnp.int32),
     )
 
 
@@ -54,12 +58,18 @@ def hash_join(
     on: Tuple[str, str],
     max_fanout: int = 1,
     probe_mask: Optional[jax.Array] = None,
+    on_overflow: str = "grow",
 ):
     """Inner equi-join; returns (probe_idx, build_idx, valid) selection.
 
     ``max_fanout`` bounds duplicate build keys per probe row (1 = unique
     build keys, the dimension-join case).  Null keys never match.
+    Truncated matches never pass silently: when a build key repeats more
+    than ``max_fanout`` times, ``on_overflow="grow"`` (default) re-runs with
+    the true fan-out; ``"raise"`` raises :class:`CapacityError`.
     """
+    from ..errors import CapacityError
+
     pk = probe_table[on[0]]
     bk = build_table[on[1]]
     probe_keys = pk.values
@@ -69,10 +79,18 @@ def hash_join(
         build_keys = jnp.where(
             bk.validity, build_keys, jnp.asarray(-(2**62), build_keys.dtype)
         )
-    pi, bi, valid = _join_indices(build_keys, probe_keys, max_fanout)
+    fanout = max_fanout
+    while True:
+        pi, bi, valid, max_run = _join_indices(build_keys, probe_keys, fanout)
+        need = int(jax.device_get(max_run))
+        if need <= fanout:
+            break
+        if on_overflow == "raise":
+            raise CapacityError("join fan-out", fanout, need)
+        fanout = 1 << (need - 1).bit_length()
     pv = pk.validity
     if probe_mask is not None:
         pv = probe_mask if pv is None else jnp.logical_and(pv, probe_mask)
     if pv is not None:
-        valid = jnp.logical_and(valid, jnp.repeat(pv, max_fanout))
+        valid = jnp.logical_and(valid, jnp.repeat(pv, fanout))
     return pi, bi, valid

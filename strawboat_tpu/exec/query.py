@@ -78,45 +78,65 @@ class Query:
     def run(self):
         table = self.scan()
         mask = self._filter.mask(table) if self._filter is not None else None
-        if self._distinct and not self._keys:
+        keys, aggs = self._keys, self._aggs
+        if self._distinct and not keys:
             cols = self._columns or list(table.columns.keys())
-            self._keys = cols
-            self._aggs = self._aggs or {"count": ("count", cols[0])}
-        if self._keys:
+            keys = cols
+            aggs = aggs or {"count": ("count", cols[0])}
+        if keys:
             res = hash_aggregate(
                 table,
-                keys=self._keys,
-                aggs=self._aggs,
+                keys=keys,
+                aggs=aggs,
                 num_groups=self._num_groups,
                 mask=mask,
             )
             if self._order or self._limit is not None:
-                res = _order_grouped(res, self._order, self._limit)
+                res = _order_grouped(res, self._order, self._limit, table)
             return res
-        if self._aggs:
+        if aggs:
             return {
                 name: scalar_aggregate(table[c].values, mask, fn)
-                for name, (fn, c) in self._aggs.items()
+                for name, (fn, c) in aggs.items()
             }
         if self._order:
             idx, taken_valid = sort_table(table, self._order, mask, self._limit)
-            return take_table(table, idx), taken_valid
+            return take_table(self._projected(table), idx), taken_valid
         if self._limit is not None:
             import jax.numpy as jnp
+            import numpy as np
 
+            out_t = self._projected(table)
             if mask is not None:
-                # first _limit selected rows: stable order of surviving rows
-                idx = jnp.nonzero(mask, size=self._limit, fill_value=0)[0]
-                taken = jnp.arange(self._limit) < jnp.sum(mask.astype(jnp.int64))
-                return take_table(table, idx), taken
+                # first _limit surviving rows, host-compacted (this path is
+                # outside jit) so no padded duplicate rows leak out
+                idx = np.flatnonzero(np.asarray(mask))[: self._limit]
+                return take_table(out_t, jnp.asarray(idx)), None
             n = min(self._limit, table.num_rows)
-            return take_table(table, jnp.arange(n)), None
+            return take_table(out_t, jnp.arange(n)), None
         # projection query: return the table + selection mask
-        return table, mask
+        return self._projected(table), mask
+
+    def _projected(self, table: DeviceTable) -> DeviceTable:
+        """Restrict to the select() projection (scan may carry extra columns
+        referenced only by the filter or ORDER BY)."""
+        if self._columns is None:
+            return table
+        return DeviceTable(
+            {n: table.columns[n] for n in self._columns}, table.num_rows
+        )
 
     def _referenced_columns(self) -> Optional[List[str]]:
+        filter_refs = list(self._filter.refs) if self._filter is not None else []
+        if self._filter is not None and not filter_refs:
+            # an Expr built outside the tracked constructors: no soundness
+            # guarantee — scan everything rather than risk a missing column
+            return None
         if self._columns is not None:
             cols = list(self._columns)
+            for name in filter_refs:
+                if name not in cols:
+                    cols.append(name)
             if self._order and not self._keys:
                 for item in self._order:
                     name = item[0] if isinstance(item, tuple) else item
@@ -125,20 +145,20 @@ class Query:
             return cols
         if not self._keys and not self._aggs:
             return None
-        # scan everything a filter might touch: without expression column
-        # tracking for arbitrary exprs, read all columns when filtered
-        if self._filter is not None:
-            return None
-        cols = set(self._keys)
+        cols = set(self._keys) | set(filter_refs)
         for fn, c in self._aggs.values():
             cols.add(c)
         return sorted(cols)
 
 
-def _order_grouped(res: Dict, order: List, limit: Optional[int]):
+def _order_grouped(
+    res: Dict, order: List, limit: Optional[int], table: Optional[DeviceTable] = None
+):
     """Sort a grouped-aggregate result dict by output columns (+ LIMIT).
 
     Only the first ``n_groups`` slots are real groups; the rest sort last.
+    ``key_<col>`` sort columns that are dictionary codes of a string column
+    in ``table`` order lexically (codes remapped through the dict rank).
     """
     import jax.numpy as jnp
 
@@ -146,6 +166,23 @@ def _order_grouped(res: Dict, order: List, limit: Optional[int]):
 
     cap = res["keys"].shape[0]
     valid = jnp.arange(cap) < res["n_groups"]
+
+    def _sort_col(name):
+        v = res[name]
+        if table is not None and name.startswith("key_"):
+            src = table.columns.get(name[4:])
+            if src is not None and src.dictionary is not None:
+                import numpy as np
+                import pyarrow.compute as pc
+
+                order_d = pc.sort_indices(src.dictionary).to_numpy(
+                    zero_copy_only=False
+                )
+                rank = np.empty(len(src.dictionary), dtype=np.int32)
+                rank[order_d] = np.arange(len(src.dictionary), dtype=np.int32)
+                return jnp.asarray(rank)[jnp.clip(v, 0, len(rank) - 1)]
+        return v
+
     if order:
         names, desc = [], []
         for item in order:
@@ -155,7 +192,7 @@ def _order_grouped(res: Dict, order: List, limit: Optional[int]):
             else:
                 names.append(item)
                 desc.append(False)
-        cols = tuple(res[n] for n in names)
+        cols = tuple(_sort_col(n) for n in names)
         idx = sort_indices(cols, tuple(desc), valid, limit)
     else:
         idx = jnp.arange(cap if limit is None else min(limit, cap))

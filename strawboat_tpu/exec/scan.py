@@ -66,12 +66,20 @@ class DeviceTable:
 
     def to_arrow(self, mask=None) -> "pa.Table":
         """Materialize (optionally mask-compacted) columns to a host table."""
+        from ..errors import NotYetImplementedError
+
         sel = None if mask is None else np.flatnonzero(np.asarray(mask))
         arrays = []
         names = []
         for name, c in self.columns.items():
             if getattr(c, "offsets", None) is not None:
-                continue  # list columns: flattened repr, skip in tabular export
+                if sel is not None:
+                    raise NotYetImplementedError(
+                        f"mask-compacted export of list column {name!r}"
+                    )
+                arrays.append(_list_column_to_arrow(c))
+                names.append(name)
+                continue
             vals = np.asarray(c.values)
             validity = None if c.validity is None else np.asarray(c.validity)
             if sel is not None:
@@ -98,6 +106,31 @@ class DeviceTable:
             arrays.append(arr)
             names.append(name)
         return pa.table(dict(zip(names, arrays)))
+
+
+def _list_column_to_arrow(c) -> "pa.Array":
+    """Rebuild a pa.ListArray from a flattened DeviceListColumn (offsets +
+    flat child values [+ child/list validity])."""
+    child_vals = np.asarray(c.values)
+    child_mask = (
+        None if c.child_validity is None else ~np.asarray(c.child_validity)
+    )
+    child = pa.array(child_vals, mask=child_mask)
+    offsets = np.asarray(c.offsets).astype(np.int32)
+    n = len(offsets) - 1
+    buffers = [None, pa.py_buffer(np.ascontiguousarray(offsets).tobytes())]
+    if c.validity is not None:
+        bitmap = np.packbits(np.asarray(c.validity), bitorder="little")
+        buffers[0] = pa.py_buffer(bitmap.tobytes())
+    arr = pa.Array.from_buffers(
+        pa.list_(child.type), n, buffers, children=[child]
+    )
+    if c.dtype is not None and arr.type != c.dtype:
+        try:
+            arr = arr.cast(c.dtype)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            pass
+    return arr
 
 
 @dataclass

@@ -88,6 +88,25 @@ def sort_indices(
     return order
 
 
+def dictionary_rank_values(col) -> jax.Array:
+    """Sortable values for a column: dictionary-coded (string) columns map
+    codes → lexical rank so ORDER BY is byte-order correct even though the
+    dictionary is built in first-occurrence order.
+
+    The rank table is a host argsort of the (small) dictionary; the remap is
+    one device gather over the codes.
+    """
+    if getattr(col, "dictionary", None) is None:
+        return col.values
+    import numpy as np
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(col.dictionary).to_numpy(zero_copy_only=False)
+    rank = np.empty(len(col.dictionary), dtype=np.int32)
+    rank[order] = np.arange(len(col.dictionary), dtype=np.int32)
+    return jnp.asarray(rank)[col.values]
+
+
 def sort_table(
     table,
     by: Sequence,
@@ -97,8 +116,8 @@ def sort_table(
     """Order a DeviceTable; returns (row_indices, taken_valid_mask).
 
     ``by`` items are column names or ``(name, "desc"|"asc")`` pairs.  String
-    (dictionary-coded) columns order by their code — exact when the
-    dictionary is sorted, otherwise first-occurrence order.
+    (dictionary-coded) columns order lexically (codes are remapped through a
+    rank table derived from the sorted dictionary).
     """
     names, desc = [], []
     for item in by:
@@ -108,7 +127,7 @@ def sort_table(
         else:
             names.append(item)
             desc.append(False)
-    cols = tuple(table[n].values for n in names)
+    cols = tuple(dictionary_rank_values(table[n]) for n in names)
     row_mask = mask
     for n in names:
         v = table[n].validity
@@ -121,12 +140,16 @@ def sort_table(
 
 def take_table(table, indices: jax.Array):
     """Materialize a row gather as a new DeviceTable (same column kinds)."""
+    from ..errors import NotYetImplementedError
     from .scan import DeviceColumn, DeviceTable
 
     out = {}
     for name, c in table.columns.items():
         if getattr(c, "offsets", None) is not None:
-            continue  # flattened list columns: no row gather defined
+            raise NotYetImplementedError(
+                f"row gather over flattened list column {name!r}; project it "
+                "out with select() before ORDER BY / LIMIT"
+            )
         out[name] = DeviceColumn(
             name=name,
             dtype=c.dtype,

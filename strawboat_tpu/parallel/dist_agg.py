@@ -46,7 +46,7 @@ def _build(mesh: Mesh, axis: str, fns: Tuple[str, ...], num_groups: int, has_mas
         # stage 2: exchange partial groups by key hash
         part = hash_partition_ids(pkeys, n_parts)
         payloads = (pkeys,) + tuple(outs) + (pvalid,)
-        bins, bvalid, _counts = build_send_bins(part, payloads, n_parts, capacity)
+        bins, bvalid, counts = build_send_bins(part, payloads, n_parts, capacity)
         exchanged = [
             jax.lax.all_to_all(b, axis, split_axis=0, concat_axis=0, tiled=True)
             for b in bins
@@ -64,10 +64,15 @@ def _build(mesh: Mesh, axis: str, fns: Tuple[str, ...], num_groups: int, has_mas
         )
         fvalid = jnp.arange(num_groups) < n2
         fkeys = k2[jnp.clip(rep2, 0, k2.shape[0] - 1)]
-        return fkeys, tuple(outs2), fvalid
+        # overflow anywhere (capacity-clipped groups or bins would otherwise
+        # silently drop rows) is surfaced per shard; callers retry larger
+        required = jnp.maximum(
+            jnp.maximum(n_grp, n2), jnp.max(counts)
+        ).reshape(1).astype(jnp.int32)
+        return fkeys, tuple(outs2), fvalid, required
 
     col_specs = tuple(P(axis) for _ in range(n_cols))
-    out_specs = (P(axis), col_specs, P(axis))
+    out_specs = (P(axis), col_specs, P(axis), P(axis))
     if has_mask:
         fn = shard_map(
             shard_fn,
@@ -94,20 +99,34 @@ def distributed_aggregate(
     values: Dict[str, Tuple[str, jax.Array]],
     mask: Optional[jax.Array] = None,
     num_groups: int = 4096,
+    on_overflow: str = "grow",
 ):
     """Group ``key`` rows sharded over ``axis``; returns per-shard final
     (keys, aggs, valid) — globally partitioned by key hash.
 
     values: out_name -> (fn, sharded value array); fn in {sum,count,min,max}.
+    Group-capacity overflow is detected on device; ``on_overflow="grow"``
+    (default) doubles ``num_groups`` and retries, ``"raise"`` raises
+    :class:`CapacityError` — never silently-wrong sums.
     """
+    from ..errors import CapacityError
+
     agg_names = tuple(values.keys())
     fns = tuple(values[n][0] for n in agg_names)
     cols = tuple(values[n][1] for n in agg_names)
-    runner = _build(mesh, axis, fns, num_groups, mask is not None)
-    if mask is not None:
-        fkeys, fouts, fvalid = runner(key, cols, mask)
-    else:
-        fkeys, fouts, fvalid = runner(key, cols)
+    cap = num_groups
+    while True:
+        runner = _build(mesh, axis, fns, cap, mask is not None)
+        if mask is not None:
+            fkeys, fouts, fvalid, required = runner(key, cols, mask)
+        else:
+            fkeys, fouts, fvalid, required = runner(key, cols)
+        need = int(jax.device_get(jnp.max(required)))
+        if need <= cap:
+            break
+        if on_overflow == "raise":
+            raise CapacityError("distributed aggregate groups", cap, need)
+        cap = 1 << (need - 1).bit_length()
     result = {"keys": fkeys, "valid": fvalid}
     for name, o in zip(agg_names, fouts):
         result[name] = o

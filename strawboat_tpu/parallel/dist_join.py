@@ -38,7 +38,7 @@ def _build(
         def exchange(key, payloads, valid, capacity):
             part = hash_partition_ids(key, n_parts)
             # invalid rows to a bin that still exchanges but is masked
-            bins, bvalid, _ = build_send_bins(
+            bins, bvalid, counts = build_send_bins(
                 part, (key,) + tuple(payloads) + (valid,), n_parts, capacity
             )
             ex = [
@@ -51,17 +51,19 @@ def _build(
             k2 = ex[0].reshape(-1)
             outs = tuple(e.reshape(-1) for e in ex[1:-1])
             v2 = bx.reshape(-1) & ex[-1].reshape(-1)
-            return k2, outs, v2
+            return k2, outs, v2, jnp.max(counts).astype(jnp.int32)
 
-        pk2, p_out, pv2 = exchange(pk, p_payloads, p_valid, probe_capacity)
-        bk2, b_out, bv2 = exchange(bk, b_payloads, b_valid, build_capacity)
+        pk2, p_out, pv2, pneed = exchange(pk, p_payloads, p_valid, probe_capacity)
+        bk2, b_out, bv2, bneed = exchange(bk, b_payloads, b_valid, build_capacity)
         # local join: send invalid build keys to a non-matching sentinel
         bk2m = jnp.where(bv2, bk2, jnp.asarray(-(2**62), bk2.dtype))
-        pi, bi, jvalid = _join_indices(bk2m, pk2, max_fanout)
+        pi, bi, jvalid, max_run = _join_indices(bk2m, pk2, max_fanout)
         jvalid = jnp.logical_and(jvalid, jnp.repeat(pv2, max_fanout))
         out_p = tuple(c[pi] for c in p_out)
         out_b = tuple(c[bi] for c in b_out)
-        return pk2[pi], out_p, out_b, jvalid
+        # per-shard capacity demands (bin sizes + fan-out) for overflow retry
+        required = jnp.stack([pneed, bneed, max_run]).reshape(1, 3)
+        return pk2[pi], out_p, out_b, jvalid, required
 
     pspec = tuple(P(axis) for _ in range(n_probe_payloads))
     bspec = tuple(P(axis) for _ in range(n_build_payloads))
@@ -69,7 +71,7 @@ def _build(
         shard_fn,
         mesh=mesh,
         in_specs=(P(axis), pspec, P(axis), P(axis), bspec, P(axis)),
-        out_specs=(P(axis), pspec, bspec, P(axis)),
+        out_specs=(P(axis), pspec, bspec, P(axis), P(axis)),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -86,14 +88,19 @@ def distributed_join(
     build_valid=None,
     capacity_per_shard: int = 0,
     max_fanout: int = 1,
+    on_overflow: str = "grow",
 ):
     """Inner equi-join of two sharded tables.
 
     Returns (key, probe_payloads', build_payloads', valid) — sharded join
     output rows (n_parts * capacity * max_fanout per shard).
     ``capacity_per_shard`` bounds rows landing on one shard per source shard
-    (default: local rows / n_parts * 2 slack).
+    (default: local rows / n_parts * 2 slack).  Bin or fan-out overflow is
+    detected on device and retried with grown capacities (default) or raised
+    as :class:`CapacityError` — never silent row loss.
     """
+    from ..errors import CapacityError
+
     n_parts = mesh.shape[axis]
     n_probe = probe_key.shape[0]
     n_build = build_key.shape[0]
@@ -103,10 +110,28 @@ def distributed_join(
         probe_valid = jnp.ones(n_probe, dtype=jnp.bool_)
     if build_valid is None:
         build_valid = jnp.ones(n_build, dtype=jnp.bool_)
-    fn = _build(
-        mesh, axis, len(probe_payloads), len(build_payloads), pcap, bcap, max_fanout
-    )
-    return fn(
-        probe_key, tuple(probe_payloads), probe_valid,
-        build_key, tuple(build_payloads), build_valid,
-    )
+    fanout = max_fanout
+    while True:
+        fn = _build(
+            mesh, axis, len(probe_payloads), len(build_payloads), pcap, bcap, fanout
+        )
+        key, p_out, b_out, valid, required = fn(
+            probe_key, tuple(probe_payloads), probe_valid,
+            build_key, tuple(build_payloads), build_valid,
+        )
+        req = jax.device_get(jnp.max(required, axis=0))
+        pneed, bneed, frun = int(req[0]), int(req[1]), int(req[2])
+        if pneed <= pcap and bneed <= bcap and frun <= fanout:
+            return key, p_out, b_out, valid
+        if on_overflow == "raise":
+            if pneed > pcap:
+                raise CapacityError("join probe shuffle bin", pcap, pneed)
+            if bneed > bcap:
+                raise CapacityError("join build shuffle bin", bcap, bneed)
+            raise CapacityError("join fan-out", fanout, frun)
+        if pneed > pcap:
+            pcap = 1 << (pneed - 1).bit_length()
+        if bneed > bcap:
+            bcap = 1 << (bneed - 1).bit_length()
+        if frun > fanout:
+            fanout = 1 << (frun - 1).bit_length()

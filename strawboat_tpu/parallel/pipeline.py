@@ -42,7 +42,7 @@ def _build_chunk_stage(mesh: Mesh, axis: str, fns: Tuple[str, ...], num_groups: 
         pkeys = local_key[jnp.clip(rep, 0, local_key.shape[0] - 1)]
         part = hash_partition_ids(pkeys, n_parts)
         payloads = (pkeys,) + tuple(outs) + (pvalid,)
-        bins, bvalid, _ = build_send_bins(part, payloads, n_parts, capacity)
+        bins, bvalid, counts = build_send_bins(part, payloads, n_parts, capacity)
         ex = [
             jax.lax.all_to_all(b, axis, split_axis=0, concat_axis=0, tiled=True)
             for b in bins
@@ -51,14 +51,15 @@ def _build_chunk_stage(mesh: Mesh, axis: str, fns: Tuple[str, ...], num_groups: 
         k2 = ex[0].reshape(-1)
         partials = tuple(e.reshape(-1) for e in ex[1 : 1 + n_cols])
         valid = bx.reshape(-1) & ex[-1].reshape(-1)
-        return k2, partials, valid
+        required = jnp.maximum(n_grp, jnp.max(counts)).reshape(1).astype(jnp.int32)
+        return k2, partials, valid, required
 
     col_specs = tuple(P(axis) for _ in range(n_cols))
     fn = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(axis), col_specs, P(axis)),
-        out_specs=(P(axis), col_specs, P(axis)),
+        out_specs=(P(axis), col_specs, P(axis), P(axis)),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -88,7 +89,7 @@ def _build_final(
         )
         fvalid = jnp.arange(num_groups) < n_grp
         fkeys = keys[jnp.clip(rep, 0, keys.shape[0] - 1)]
-        return fkeys, tuple(outs), fvalid
+        return fkeys, tuple(outs), fvalid, n_grp.reshape(1).astype(jnp.int32)
 
     col_specs = tuple(P(axis) for _ in range(n_cols))
     in_specs = tuple(
@@ -98,7 +99,7 @@ def _build_final(
         shard_fn,
         mesh=mesh,
         in_specs=in_specs,
-        out_specs=(P(axis), col_specs, P(axis)),
+        out_specs=(P(axis), col_specs, P(axis), P(axis)),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -114,7 +115,12 @@ def pipelined_distributed_aggregate(
 
     All chunk stages are dispatched before any result is awaited — the
     exchange of one chunk overlaps the compute of the next.
+
+    Chunks stream through once, so capacity overflow cannot be retried here:
+    it raises :class:`CapacityError` (re-run with a larger ``num_groups``).
     """
+    from ..errors import CapacityError
+
     agg_names = None
     chunk_outs = []
     fns = None
@@ -133,9 +139,15 @@ def pipelined_distributed_aggregate(
     # key-partitioned by the exchanges) + one grouped aggregate
     final = _build_final(mesh, axis, fns, num_groups, len(chunk_outs))
     flat_args = []
-    for k2, partials, valid in chunk_outs:
+    for k2, partials, valid, _req in chunk_outs:
         flat_args.extend([k2, partials, valid])
-    fkeys, fouts, fvalid = final(*flat_args)
+    fkeys, fouts, fvalid, freq = final(*flat_args)
+    need = max(
+        int(jax.device_get(jnp.max(freq))),
+        max(int(jax.device_get(jnp.max(c[3]))) for c in chunk_outs),
+    )
+    if need > num_groups:
+        raise CapacityError("pipelined aggregate groups", num_groups, need)
     result = {"keys": fkeys, "valid": fvalid}
     for name, o in zip(agg_names, fouts):
         result[name] = o

@@ -77,36 +77,62 @@ def shuffle_by_key(
     payloads: Tuple[jax.Array, ...],
     capacity: int,
     salt: int = 0,
+    on_overflow: str = "grow",
 ):
     """All-to-all repartition rows by key hash across ``axis``.
 
     Inputs are sharded along ``axis`` on dim 0.  Returns (key', payloads',
     valid') re-sharded so equal keys land on the same shard, flattened to
     (P * capacity) rows per shard.
+
+    A bin overflow (more rows hash to one destination than ``capacity``)
+    never passes silently: ``on_overflow="grow"`` (default) doubles capacity
+    and re-runs; ``"raise"`` raises :class:`CapacityError` carrying the
+    required capacity.
     """
+    from ..errors import CapacityError
+
     n_parts = mesh.shape[axis]
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(axis), tuple(P(axis) for _ in payloads)),
-        out_specs=(P(axis), tuple(P(axis) for _ in payloads), P(axis)),
-        check_vma=False,
-    )
-    def _shuffle(local_key, local_payloads):
-        part = hash_partition_ids(local_key, n_parts, salt=salt)
-        bins, valid, _counts = build_send_bins(
-            part, (local_key,) + tuple(local_payloads), n_parts, capacity
+    def _run(cap: int):
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), tuple(P(axis) for _ in payloads)),
+            out_specs=(
+                P(axis),
+                tuple(P(axis) for _ in payloads),
+                P(axis),
+                P(axis),
+            ),
+            check_vma=False,
         )
-        exchanged = [
-            jax.lax.all_to_all(b, axis, split_axis=0, concat_axis=0, tiled=True)
-            for b in bins
-        ]
-        valid_x = jax.lax.all_to_all(
-            valid, axis, split_axis=0, concat_axis=0, tiled=True
-        )
-        out_key = exchanged[0].reshape(-1)
-        outs = tuple(e.reshape(-1) for e in exchanged[1:])
-        return out_key, outs, valid_x.reshape(-1)
+        def _shuffle(local_key, local_payloads):
+            part = hash_partition_ids(local_key, n_parts, salt=salt)
+            bins, valid, counts = build_send_bins(
+                part, (local_key,) + tuple(local_payloads), n_parts, cap
+            )
+            exchanged = [
+                jax.lax.all_to_all(b, axis, split_axis=0, concat_axis=0, tiled=True)
+                for b in bins
+            ]
+            valid_x = jax.lax.all_to_all(
+                valid, axis, split_axis=0, concat_axis=0, tiled=True
+            )
+            out_key = exchanged[0].reshape(-1)
+            outs = tuple(e.reshape(-1) for e in exchanged[1:])
+            max_count = jnp.max(counts).reshape(1).astype(jnp.int32)
+            return out_key, outs, valid_x.reshape(-1), max_count
 
-    return _shuffle(key, tuple(payloads))
+        return _shuffle(key, tuple(payloads))
+
+    cap = capacity
+    while True:
+        out_key, outs, valid, max_counts = _run(cap)
+        required = int(jax.device_get(jnp.max(max_counts)))
+        if required <= cap:
+            return out_key, outs, valid
+        if on_overflow == "raise":
+            raise CapacityError("shuffle bin", cap, required)
+        # grow to the next power of two covering the true max bin size
+        cap = 1 << (required - 1).bit_length()

@@ -159,5 +159,81 @@ def test_query_limit_only_with_filter(sort_file):
     res, taken = Query(path).select("u").filter(col("u") < 1000).limit(5).run()
     u = table.column("u").to_numpy()
     exp = u[u < 1000][:5]
-    got = np.asarray(res["u"].values)[np.asarray(taken)]
-    np.testing.assert_array_equal(got, exp[: len(got)])
+    # host-compacted: taken is None and every returned row is real (no
+    # padded duplicates of row 0 when fewer than limit rows survive)
+    assert taken is None
+    got = np.asarray(res["u"].values)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_order_by_string_is_lexical(tmp_strawboat):
+    """Dictionary codes are first-occurrence order; ORDER BY must still be
+    byte-lexical (round-1 advisor finding: code-order sorts were wrong)."""
+    from strawboat_tpu.exec import Query
+
+    rng = np.random.default_rng(13)
+    # first occurrences deliberately non-lexical: "zeta" gets code 0
+    words = ["zeta", "alpha", "mike", "bravo", "yank", "charlie"]
+    vals = [words[i] for i in rng.integers(0, len(words), 800)]
+    vals[0] = "zeta"
+    table = pa.table({"s": pa.array(vals, pa.string()),
+                      "x": pa.array(np.arange(800, dtype=np.int64))})
+    write_file(tmp_strawboat, table, options=_opts())
+    res, taken = Query(tmp_strawboat).select("s", "x").order_by("s").run()
+    got = res.to_arrow().column("s").to_pylist()
+    assert got == sorted(vals)
+    # grouped path: ORDER BY key_s on a grouped aggregate is lexical too
+    resg = (
+        Query(tmp_strawboat)
+        .group_by("s", num_groups=16)
+        .agg(total=("sum", "x"))
+        .order_by("key_s")
+        .run()
+    )
+    n = int(resg["n_groups"])
+    codes = np.asarray(resg["key_s"])[:n]
+    # decode via a fresh scan's dictionary
+    t = Query(tmp_strawboat).scan()
+    d = t["s"].dictionary
+    names = [d[int(c)].as_py().decode() if isinstance(d[int(c)].as_py(), bytes)
+             else d[int(c)].as_py() for c in codes]
+    assert names == sorted(set(vals))
+
+
+def test_projection_pushdown_under_filter(tmp_strawboat):
+    """Filtered+grouped queries decode only referenced columns (round-1
+    verdict: filters used to force scanning every column)."""
+    from strawboat_tpu.exec import Query, col
+
+    rng = np.random.default_rng(17)
+    n = 1000
+    table = pa.table({k: pa.array(rng.integers(0, 100, n).astype(np.int64))
+                      for k in ("a", "b", "c", "d", "e")})
+    write_file(tmp_strawboat, table, options=_opts())
+    q = (
+        Query(tmp_strawboat)
+        .filter(col("c") > 10)
+        .group_by("a", num_groups=128)
+        .agg(total=("sum", "b"))
+    )
+    t = q.scan()
+    assert set(t.columns.keys()) == {"a", "b", "c"}
+    # and the query itself is still correct
+    res = q.run()
+    ngrp = int(res["n_groups"])
+    a = table.column("a").to_numpy()
+    b = table.column("b").to_numpy()
+    c = table.column("c").to_numpy()
+    exp = {int(k): int(b[(a == k) & (c > 10)].sum())
+           for k in np.unique(a[c > 10])}
+    got = {int(k): int(v) for k, v in zip(np.asarray(res["key_a"])[:ngrp],
+                                          np.asarray(res["total"])[:ngrp])}
+    assert got == exp
+
+
+def test_select_does_not_leak_order_column(sort_file):
+    from strawboat_tpu.exec import Query
+
+    path, table = sort_file
+    res, taken = Query(path).select("i").order_by("f").limit(10).run()
+    assert set(res.columns.keys()) == {"i"}
