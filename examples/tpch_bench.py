@@ -83,12 +83,12 @@ def main() -> int:
     print(f"Q6 warm: {(time.perf_counter() - t0) * 1e3:.0f} ms")
 
     t0 = time.perf_counter()
-    res = q1(full)
-    n_groups = int(res["n_groups"])
+    res = q1(full)  # arrow table ordered by (returnflag, linestatus)
+    n_groups = res.num_rows
     t_q1 = time.perf_counter() - t0
     print(f"Q1: {t_q1 * 1e3:.0f} ms (first incl. compile), {n_groups} groups")
     t0 = time.perf_counter()
-    int(q1(full)["n_groups"])
+    q1(full)
     print(f"Q1 warm: {(time.perf_counter() - t0) * 1e3:.0f} ms")
     return 0
 

@@ -103,7 +103,9 @@ def hash_aggregate(
 ):
     """Group-by aggregate over a DeviceTable.
 
-    aggs: out_name -> (fn, column);  fn in {sum, min, max, count, avg}.
+    aggs: out_name -> (fn, column);  fn in {sum, min, max, count, avg};
+    column may be a name or an Expr (computed aggregate input, e.g.
+    ``col("price") * (100 - col("disc"))``).
     Returns dict with 'keys' (u64 composite), 'n_groups', per-agg arrays, and
     'rep_rows' (a representative source row per group, for key readback).
     More distinct keys than ``num_groups`` never pass silently:
@@ -121,10 +123,26 @@ def hash_aggregate(
             avg_names.append(name)
         else:
             lowered[name] = (fn, c)
-    value_names = [c for (_, c) in lowered.values()]
-    value_cols = tuple(table[c].values for c in value_names)
+
+    def _values(fn, c):
+        from .expr import Expr
+        from ..errors import NotYetImplementedError
+
+        if isinstance(c, Expr):
+            v, m = c.fn(table)
+            if m is not None:
+                if fn != "sum":
+                    raise NotYetImplementedError(
+                        f"{fn} over a nullable expression; filter nulls first"
+                    )
+                v = jnp.where(m, v, 0)  # SQL SUM ignores null inputs
+            return v
+        return table[c].values
+
+    value_inputs = list(lowered.values())
+    value_cols = tuple(_values(fn, c) for (fn, c) in value_inputs)
     agg_specs = tuple(
-        (fn, value_names.index(c)) for (fn, c) in lowered.values()
+        (fn, i) for i, (fn, _c) in enumerate(value_inputs)
     )
     from ..errors import CapacityError
 

@@ -80,14 +80,26 @@ class Expr:
     def __add__(self, o):
         return self._bin(o, jnp.add)
 
+    def __radd__(self, o):
+        return _as_expr(o)._bin(self, jnp.add)
+
     def __sub__(self, o):
         return self._bin(o, jnp.subtract)
+
+    def __rsub__(self, o):
+        return _as_expr(o)._bin(self, jnp.subtract)
 
     def __mul__(self, o):
         return self._bin(o, jnp.multiply)
 
+    def __rmul__(self, o):
+        return _as_expr(o)._bin(self, jnp.multiply)
+
     def __truediv__(self, o):
         return self._bin(o, jnp.divide)
+
+    def __rtruediv__(self, o):
+        return _as_expr(o)._bin(self, jnp.divide)
 
     def __and__(self, o):
         return self._bin(o, jnp.logical_and)

@@ -95,8 +95,11 @@ class Query:
                 res = _order_grouped(res, self._order, self._limit, table)
             return res
         if aggs:
+            def _vals(c):
+                return c.evaluate(table) if isinstance(c, Expr) else table[c].values
+
             return {
-                name: scalar_aggregate(table[c].values, mask, fn)
+                name: scalar_aggregate(_vals(c), mask, fn)
                 for name, (fn, c) in aggs.items()
             }
         if self._order:
@@ -147,7 +150,10 @@ class Query:
             return None
         cols = set(self._keys) | set(filter_refs)
         for fn, c in self._aggs.values():
-            cols.add(c)
+            if isinstance(c, Expr):
+                cols.update(c.refs)
+            else:
+                cols.add(c)
         return sorted(cols)
 
 

@@ -1,5 +1,6 @@
 """TPC-H workload tests (BASELINE config 4 shape, small scale): write
-lineitem, device scan with zone-map pruning, Q6/Q1 vs numpy references."""
+lineitem with utf8 flag columns, device scan with zone-map pruning, full Q1
+(all 8 aggregates) / Q6 vs numpy references on all three execution paths."""
 
 import numpy as np
 import pytest
@@ -8,6 +9,9 @@ from strawboat_tpu.api import write_file
 from strawboat_tpu.benchsuite.tpch import (
     generate_lineitem,
     q1,
+    q1_dense,
+    q1_numpy_reference,
+    q1_query,
     q6,
     q6_numpy_reference,
     q6_pruning_predicates,
@@ -51,42 +55,94 @@ def test_q6_with_pruning(lineitem_file):
     assert got == q6_numpy_reference(table)
 
 
-def test_q1(lineitem_file):
+def _assert_q1_matches(got_table, exp):
+    rows = got_table.to_pylist()
+    assert len(rows) == len(exp)
+    for row in rows:
+        key = (row["l_returnflag"], row["l_linestatus"])
+        e = exp[key]
+        for name in (
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            "count_order",
+        ):
+            assert int(row[name]) == e[name], (key, name)
+        for name in ("avg_qty", "avg_price", "avg_disc"):
+            assert abs(row[name] - e[name]) < 1e-9 * max(abs(e[name]), 1), (
+                key,
+                name,
+            )
+    # output ordered by (returnflag, linestatus)
+    keys = [(r["l_returnflag"], r["l_linestatus"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_q1_full(lineitem_file):
+    """All 8 Q1 aggregates, utf8 group keys, sort-based path."""
     path, table = lineitem_file
     dt = scan_file(path)
-    res = q1(dt)
-    n_groups = int(res["n_groups"])
-    sd = table.column("l_shipdate").to_numpy()
-    rf = table.column("l_returnflag").to_numpy()
-    ls = table.column("l_linestatus").to_numpy()
-    qty = table.column("l_quantity").to_numpy()
-    m = sd <= (2557 - 90)
-    import collections
+    exp = q1_numpy_reference(table)
+    _assert_q1_matches(q1(dt), exp)
 
-    exp = collections.defaultdict(lambda: [0, 0])
-    for f, s, q, ok in zip(rf, ls, qty, m):
-        if ok:
-            exp[(f, s)][0] += q
-            exp[(f, s)][1] += 1
-    assert n_groups == len(exp)
-    total_qty = sum(v[0] for v in exp.values())
-    got_total = int(np.asarray(res["sum_qty"]).sum())
-    assert got_total == total_qty
-    # per-group exactness on the dense-code path
-    for (f, s_), (qty, cnt_) in exp.items():
-        code = int(f) * 2 + int(s_)
-        assert int(np.asarray(res["sum_qty"])[code]) == qty
-        assert int(np.asarray(res["count_order"])[code]) == cnt_
-    # sort-based path agrees
-    from strawboat_tpu.benchsuite.tpch import q1_sort
 
-    res2 = q1_sort(dt)
-    assert int(np.asarray(res2["sum_qty"])[: int(res2["n_groups"])].sum()) == total_qty
+def test_q1_dense_path(lineitem_file):
+    """MXU dense-code path produces identical results."""
+    path, table = lineitem_file
+    dt = scan_file(path)
+    exp = q1_numpy_reference(table)
+    _assert_q1_matches(q1_dense(dt), exp)
+
+
+def test_q1_query_api(lineitem_file):
+    """Q1 through the fluent Query API with ORDER BY on string keys."""
+    path, table = lineitem_file
+    res = q1_query(path)
+    exp = q1_numpy_reference(table)
+    valid = np.asarray(res["taken_valid"])
+    n = int(valid.sum())
+    assert n == len(exp)
+    # keys come back as dictionary codes; decode through a scan's dictionary
+    dt = scan_file(path, columns=["l_returnflag", "l_linestatus"])
+    fd = dt["l_returnflag"].dictionary
+    sd = dt["l_linestatus"].dictionary
+
+    def dec(d, c):
+        v = d[int(c)].as_py()
+        return v.decode() if isinstance(v, bytes) else v
+
+    keys = [
+        (dec(fd, f), dec(sd, s))
+        for f, s in zip(
+            np.asarray(res["key_l_returnflag"])[:n],
+            np.asarray(res["key_l_linestatus"])[:n],
+        )
+    ]
+    # ORDER BY on dictionary keys is lexical
+    assert keys == sorted(keys)
+    for i, key in enumerate(keys):
+        e = exp[key]
+        assert int(np.asarray(res["sum_qty"])[i]) == e["sum_qty"]
+        assert int(np.asarray(res["sum_disc_price"])[i]) == e["sum_disc_price"]
+        assert int(np.asarray(res["sum_charge"])[i]) == e["sum_charge"]
+        assert int(np.asarray(res["count_order"])[i]) == e["count_order"]
+        assert abs(float(np.asarray(res["avg_disc"])[i]) - e["avg_disc"]) < 1e-9
+
+
+def test_string_filter_on_flags(lineitem_file):
+    """utf8 literal predicates translate through the device dictionary."""
+    from strawboat_tpu.exec import Query, col
+
+    path, table = lineitem_file
+    res = Query(path).filter(col("l_returnflag") == "R").agg(
+        n=("count", "l_quantity")
+    ).run()
+    rf = np.asarray(table.column("l_returnflag").to_pylist())
+    assert int(res["n"]) == int((rf == "R").sum())
 
 
 def test_q3_like_join(tmp_path):
-    import jax.numpy as jnp
-
     from strawboat_tpu.benchsuite.tpch import generate_orders, q3_like
 
     li = generate_lineitem(0.01, rows=40_000)
