@@ -564,6 +564,33 @@ def _decode_boolean_page_device(buf: np.ndarray, pos: int, length: int) -> jax.A
     return jnp.asarray(host_vals)
 
 
+def _dictionary_encode(arr: "pa.Array"):
+    """Per-row dictionary encode (arrow C++).  Module-level seam so tests can
+    assert the dict-page fast path never re-encodes row data."""
+    return arr.dictionary_encode()
+
+
+def _parse_binary_dict_sets(buf: np.ndarray, pos: int, count: int) -> "pa.Array":
+    """Parse a binary dict page's ``[u64 len][bytes]*count`` set list
+    (reference binary/dict.rs:90-99) into a pa.binary array."""
+    lens = np.empty(count, dtype=np.int64)
+    parts = []
+    for i in range(count):
+        ln = int(np.frombuffer(buf, "<u8", 1, pos)[0])
+        pos += 8
+        parts.append(buf[pos : pos + ln])
+        pos += ln
+        lens[i] = ln
+    offs = np.zeros(count + 1, dtype=np.int32)
+    np.cumsum(lens, out=offs[1:])
+    values = np.concatenate(parts) if parts else np.empty(0, np.uint8)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        count,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(values.tobytes())],
+    )
+
+
 def _decode_binary_column_device(
     file_bytes: np.ndarray,
     meta: ColumnMeta,
@@ -572,19 +599,26 @@ def _decode_binary_column_device(
 ) -> DeviceColumn:
     """Binary/utf8 column → dictionary codes on device + host dictionary.
 
-    Pages decode on host (string bytes are variable-length — codes are the
-    TPU-shaped representation); arrow's C++ ``dictionary_encode`` builds the
-    codes, which then live in HBM for filtering/grouping.
+    Dict-codec pages never re-encode: their packed index bits upload
+    directly (device bitunpack when the index subpage is uniform bitpack,
+    host u32 decode otherwise) and the per-page dictionaries merge through a
+    small host pool (``pc.unique`` + ``index_in`` remap).  Only raw-mode
+    pages — where strings arrive as plain offsets+bytes — go through arrow's
+    per-row ``dictionary_encode``.  Ref layout: binary/dict.rs:55-141.
     """
     from ..codecs import decompress_binary
+    from ..codecs.integer import decompress_integer
 
     odt = np.int64 if (
         pa.types.is_large_string(field.type) or pa.types.is_large_binary(field.type)
     ) else np.int32
     nullable = bool(field.nullable)
     pos = meta.offset
-    page_arrays = []
     vparts = []
+    # per page: ("bp", words, n_blocks, b, length, dict_arr)
+    #         | ("codes", np_codes, dict_arr)     [dict page, host indices]
+    #         | ("raw", pa_array)                 [needs per-row encode]
+    plans = []
     for i, page in enumerate(meta.pages):
         page_end = pos + page.length
         if keep is not None and not keep[i]:
@@ -599,35 +633,169 @@ def _decode_binary_column_device(
             vparts.append(
                 np.ones(length, dtype=bool) if validity is None else validity
             )
-        offsets, values, _ = decompress_binary(buf, p, length, np.dtype(odt))
-        typ = pa.large_binary() if odt == np.int64 else pa.binary()
-        page_arrays.append(
-            pa.Array.from_buffers(
-                typ,
-                length,
-                [None, pa.py_buffer(np.ascontiguousarray(offsets).tobytes()),
-                 pa.py_buffer(np.ascontiguousarray(values).tobytes())],
+        codec, csize, _us, body = read_header(buf, p)
+        if codec == Compression.DICT:
+            icodec, icsize, _ius, ibody = read_header(buf, body)
+            parsed = (
+                _parse_uniform_bp_page(buf, ibody, length)
+                if icodec == Compression.BITPACKING
+                else None
             )
-        )
+            if parsed is not None:
+                words, n_blocks, b = parsed
+                vpos = ibody + icsize
+            else:
+                indices, vpos = decompress_integer(
+                    buf, body, length, np.dtype(np.uint32)
+                )
+            count = int(np.frombuffer(buf, "<u4", 1, vpos)[0])
+            dict_arr = _parse_binary_dict_sets(buf, vpos + 4, count)
+            if count == 0:  # all-null page: codes are 0 → one empty slice
+                dict_arr = pa.array([b""], pa.binary())
+            if parsed is not None:
+                plans.append(("bp", words, n_blocks, b, length, dict_arr))
+            else:
+                plans.append(("codes", indices.astype(np.int32), dict_arr))
+        else:
+            offsets, values, _ = decompress_binary(buf, p, length, np.dtype(odt))
+            typ = pa.large_binary() if odt == np.int64 else pa.binary()
+            plans.append(
+                (
+                    "raw",
+                    pa.Array.from_buffers(
+                        typ,
+                        length,
+                        [
+                            None,
+                            pa.py_buffer(np.ascontiguousarray(offsets).tobytes()),
+                            pa.py_buffer(np.ascontiguousarray(values).tobytes()),
+                        ],
+                    ),
+                )
+            )
         pos = page_end
-    if not page_arrays:
+    if not plans:
         return DeviceColumn(
             field.name, field.type, jnp.zeros(0, jnp.int32), None, None
         )
-    combined = (
-        pa.concat_arrays(page_arrays) if len(page_arrays) > 1 else page_arrays[0]
+
+    # per-row encode for raw pages only (reference-style plain framing)
+    raw_arrays = [p[1] for p in plans if p[0] == "raw"]
+    raw_dict = None
+    raw_codes_flat = None
+    if raw_arrays:
+        combined = (
+            pa.concat_arrays(raw_arrays) if len(raw_arrays) > 1 else raw_arrays[0]
+        )
+        enc = _dictionary_encode(combined)
+        raw_codes_flat = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int32
+        )
+        raw_dict = enc.dictionary
+
+    # merge dictionaries: pool = page dicts (+ raw dict), dedupe ONCE on the
+    # small pool — never over row data
+    pool_parts = [p[-1] for p in plans if p[0] in ("bp", "codes")]
+    if raw_dict is not None:
+        pool_parts.append(raw_dict.cast(pa.binary()))
+    if len(pool_parts) == 1 and raw_dict is None:
+        global_dict = pool_parts[0]
+        remap = np.arange(len(global_dict), dtype=np.int32)
+    else:
+        import pyarrow.compute as pc
+
+        pool = pa.concat_arrays([d.cast(pa.binary()) for d in pool_parts])
+        global_dict = pc.unique(pool)
+        remap = pc.index_in(pool, value_set=global_dict).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int32)
+    # base offset of each pool part
+    bases = np.zeros(len(pool_parts) + 1, dtype=np.int64)
+    np.cumsum([len(d) for d in pool_parts], out=bases[1:])
+
+    # assemble codes in page order; device bitunpack grouped per width
+    bp_jobs = []  # (plan_idx, words, n_blocks, b, length, base)
+    part_i = 0
+    raw_base = int(bases[-2]) if raw_dict is not None else 0
+    page_parts = []  # ("host", np_codes) | ("bpjob", job_index)
+    raw_cursor = 0
+    for plan in plans:
+        kind = plan[0]
+        if kind == "bp":
+            _k, words, n_blocks, b, length, _d = plan
+            bp_jobs.append((len(bp_jobs), words, n_blocks, b, length, int(bases[part_i])))
+            page_parts.append(("bpjob", len(bp_jobs) - 1))
+            part_i += 1
+        elif kind == "codes":
+            _k, codes, _d = plan
+            page_parts.append(("host", remap[codes + int(bases[part_i])]))
+            part_i += 1
+        else:
+            n = len(plan[1])
+            page_parts.append(
+                ("host", remap[raw_codes_flat[raw_cursor : raw_cursor + n] + raw_base])
+            )
+            raw_cursor += n
+
+    device_code_parts = []
+    if bp_jobs:
+        # group by width: one fused unpack + base-add + remap gather per width
+        from collections import defaultdict
+
+        remap_dev = jnp.asarray(remap)
+        groups = defaultdict(list)
+        for job in bp_jobs:
+            groups[job[3]].append(job)
+        job_slices = {}
+        for b, jobs in groups.items():
+            all_words = np.concatenate([j[1] for j in jobs], axis=0)
+            total = all_words.shape[0] * 128
+            codes = bitunpack_natural_device(all_words, b)[:total].astype(
+                jnp.int32
+            )
+            slot_sizes = np.asarray([j[2] * 128 for j in jobs])
+            base_rep = jnp.repeat(
+                jnp.asarray([j[5] for j in jobs], dtype=jnp.int32),
+                jnp.asarray(slot_sizes),
+                total_repeat_length=total,
+            )
+            gcodes = remap_dev[codes + base_rep]
+            off = 0
+            for j in jobs:
+                job_slices[j[0]] = (gcodes, off, j[2] * 128, j[4])
+                off += j[2] * 128
+    # concatenate parts in page order, merging host runs into single uploads
+    host_acc = []
+
+    def flush_host():
+        if host_acc:
+            device_code_parts.append(jnp.asarray(np.concatenate(host_acc)))
+            host_acc.clear()
+
+    for kind, payload in page_parts:
+        if kind == "host":
+            host_acc.append(payload)
+        else:
+            flush_host()
+            gcodes, off, n_slot, length = job_slices[payload]
+            device_code_parts.append(
+                jax.lax.dynamic_slice(gcodes, (off,), (n_slot,))[:length]
+            )
+    flush_host()
+    codes = (
+        jnp.concatenate(device_code_parts)
+        if len(device_code_parts) > 1
+        else device_code_parts[0]
     )
-    dict_enc = combined.dictionary_encode()
-    codes = dict_enc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
     validity = (
         jnp.asarray(np.concatenate(vparts)) if (nullable and vparts) else None
     )
     return DeviceColumn(
         field.name,
         field.type,
-        jnp.asarray(codes),
+        codes,
         validity,
-        dictionary=dict_enc.dictionary,
+        dictionary=global_dict,
     )
 
 
