@@ -51,12 +51,19 @@ def emit(metric, value, unit, vs_baseline, **extra):
 
 
 def bench_e2e_scan(tmpdir: str):
-    """Config 1: Int64/LZ4 file → HBM column, vs parquet-C++ read."""
+    """Config 1: Int64/LZ4 file read — host A/B vs parquet-C++, plus →HBM.
+
+    The host read is the reference's own comparison (strawboat_read.rs vs
+    parquet_read.rs decode to host arrays).  The →HBM variant additionally
+    moves the column to device memory; on this box that transfer rides the
+    axon relay tunnel (~0.1 GB/s for incompressible bytes), so it is
+    reported with the tunnel called out rather than folded into the A/B.
+    """
     import jax
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from strawboat_tpu.api import write_file
+    from strawboat_tpu.api import read_table, write_file
     from strawboat_tpu.codecs import WriteOptions
     from strawboat_tpu.constants import Compression
     from strawboat_tpu.exec import scan_file
@@ -75,38 +82,50 @@ def bench_e2e_scan(tmpdir: str):
             max_page_size=65536,
         ),
     )
+    ppath = os.path.join(tmpdir, "config1.parquet")
+    pq.write_table(table, ppath, compression="lz4")
+
+    def best(fn, k=4):
+        fn()
+        return min(fn() for _ in range(k))
+
+    t_host = best(lambda: _timed(lambda: read_table(path)))
+    t_pq = best(lambda: _timed(lambda: pq.read_table(ppath)))
+    host_gbps = n * 8 / t_host / 1e9
+    pq_gbps = n * 8 / t_pq / 1e9
+    emit(
+        "host_read_bandwidth",
+        host_gbps,
+        "GB/s",
+        host_gbps / pq_gbps,
+        parquet_read_gbps=round(pq_gbps, 3),
+    )
 
     def scan_once():
         t0 = time.perf_counter()
         dt = scan_file(path)
-        jax.block_until_ready(dt["a"].values)
-        # force a real fetch through the relay so timing includes completion
+        # a real fetch forces completion through the relay (block_until_ready
+        # can return early there)
         float(dt["a"].values[0])
         return time.perf_counter() - t0
 
     scan_once()  # warm (compile + page cache)
     t = min(scan_once() for _ in range(3))
     gbps = n * 8 / t / 1e9
-
-    # parquet A/B: same data, LZ4, C++ reader to host arrow (its best config)
-    ppath = os.path.join(tmpdir, "config1.parquet")
-    pq.write_table(table, ppath, compression="lz4")
-
-    def pq_once():
-        t0 = time.perf_counter()
-        pq.read_table(ppath)
-        return time.perf_counter() - t0
-
-    pq_once()
-    tp = min(pq_once() for _ in range(3))
-    pq_gbps = n * 8 / tp / 1e9
     emit(
         "e2e_scan_bandwidth",
         gbps,
         "GB/s",
         gbps / pq_gbps,
-        parquet_read_gbps=round(pq_gbps, 3),
+        note="includes host->HBM over the axon relay tunnel (~0.1 GB/s cap "
+        "for incompressible bytes); host decode itself is the metric above",
     )
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def bench_tpch(tmpdir: str):

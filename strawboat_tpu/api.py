@@ -31,22 +31,39 @@ def _field_readers(path: str, schema: pa.Schema, metas: List[ColumnMeta]):
 
 
 def read_table(path: str, columns: Optional[List[str]] = None) -> pa.Table:
-    """Whole-file batch read → pyarrow Table (strawboat_batch_read.rs)."""
+    """Whole-file batch read → pyarrow Table (strawboat_batch_read.rs).
+
+    Simple fixed-width columns with all-common-codec pages take the planned
+    fast path (one native threaded batch-decompress into the final buffer,
+    zero-copy arrow wrap); everything else streams through the general
+    per-page reader.
+    """
+    import numpy as np
+
+    from .read.fast import read_column_fast
+
     with open(path, "rb") as f:
         schema = infer_schema(f)
         metas = read_meta(f)
+    file_bytes = np.memmap(path, dtype=np.uint8, mode="r")
+    per_field = split_metas_by_field(schema, metas)
     arrays = []
     fields = []
-    for field, readers in _field_readers(path, schema, metas):
+    for field, field_metas in zip(schema, per_field):
         if columns is not None and field.name not in columns:
+            continue
+        arr = (
+            read_column_fast(file_bytes, field_metas[0], field)
+            if len(field_metas) == 1
+            else None
+        )
+        if arr is None:
+            readers = open_readers(path, field_metas)
+            arr = batch_read_column(readers, field).to_arrow()
             for r in readers:
                 r.page_reader.close()
-            continue
-        col = batch_read_column(readers, field)
-        arrays.append(col.to_arrow())
+        arrays.append(arr)
         fields.append(field)
-        for r in readers:
-            r.page_reader.close()
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
 

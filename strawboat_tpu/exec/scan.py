@@ -390,6 +390,88 @@ def _decode_dict_group_arrays(dict_jobs, np_dtype, group_arrays, page_ref):
             off += n_blocks * 128
 
 
+_UPLOAD_CHUNK = 32 << 20  # bytes per staged host→device transfer
+
+# jitted concat: on relayed backends an eager concatenate of freshly
+# uploaded chunks costs a dispatch round-trip per call; the jitted form
+# re-traces per (count, shapes) and then replays from the executable cache
+_concat_device = jax.jit(lambda *xs: jnp.concatenate(xs))
+
+
+def _assemble_validity(vparts):
+    """vparts: list of (length, validity|None).  None ≡ all-valid; a column
+    where no page carries nulls uploads NO mask at all."""
+    if not vparts or all(v is None for _l, v in vparts):
+        return None
+    return jnp.asarray(
+        np.concatenate(
+            [np.ones(l, dtype=bool) if v is None else v for l, v in vparts]
+        )
+    )
+
+
+def _decode_raw_column_streamed(plans, np_dtype) -> Optional[jax.Array]:
+    """Streamed decode for a column whose pages are ALL common-codec.
+
+    Pages decompress on native threads directly into one pooled host arena
+    (no per-page allocation, no concatenate), in ~32 MB chunks; each chunk's
+    host→device transfer is dispatched asynchronously, so the next chunk's
+    decompression overlaps the previous chunk's upload — the double-buffered
+    feed of SURVEY §2.8.  Returns None when the shape doesn't qualify
+    (mixed structured codecs, no native runtime).
+    """
+    if np_dtype is None or not plans or not native.available():
+        return None
+    from . import arena
+
+    jobs = []  # (codec_int, in_slice, out_len)
+    for length, _v, buf, p in plans:
+        codec, csize, _us, body = read_header(buf, p)
+        if not codec.raw_mode:
+            return None
+        jobs.append((int(codec), buf[body : body + csize], length * np_dtype.itemsize))
+    out_lens = np.asarray([j[2] for j in jobs], dtype=np.int64)
+    offsets = np.zeros(len(jobs) + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=offsets[1:])
+    total = int(offsets[-1])
+    if total == 0:
+        return jnp.zeros(0, dtype=jnp.dtype(np_dtype))
+    on_cpu = jax.default_backend() == "cpu"
+    buf = arena.acquire(total) if not on_cpu else np.empty(total, dtype=np.uint8)
+
+    # chunk boundaries on page edges, ~_UPLOAD_CHUNK decoded bytes apiece
+    parts = []
+    start = 0
+    n = len(jobs)
+    while start < n:
+        end = start + 1
+        while end < n and offsets[end + 1] - offsets[start] <= _UPLOAD_CHUNK:
+            end += 1
+        chunk = jobs[start:end]
+        base = int(offsets[start])
+        # one native call per codec run inside the chunk (usually exactly one)
+        i = 0
+        while i < len(chunk):
+            j = i + 1
+            while j < len(chunk) and chunk[j][0] == chunk[i][0]:
+                j += 1
+            native.decompress_batch_into(
+                chunk[i][0],
+                [c[1] for c in chunk[i:j]],
+                buf,
+                offsets[start + i : start + j],
+                out_lens[start + i : start + j],
+            )
+            i = j
+        view = buf[base : int(offsets[end])].view(np_dtype)
+        parts.append(jnp.asarray(view))  # async transfer; overlaps next chunk
+        start = end
+    values = _concat_device(*parts) if len(parts) > 1 else parts[0]
+    if not on_cpu:
+        arena.release(buf, parts)
+    return values
+
+
 def decode_column_pages_device(
     file_bytes: np.ndarray,
     meta: ColumnMeta,
@@ -423,6 +505,22 @@ def decode_column_pages_device(
             validity, p = read_validity(buf, p, length)
         plans.append((length, validity, buf, p))
         pos = page_end
+
+    # fast path: all-common-codec column → streamed arena decode + chunked
+    # overlapped upload (no per-page allocation, no concatenate pass)
+    if not pa.types.is_boolean(dtype):
+        values = _decode_raw_column_streamed(plans, np_dtype)
+        if values is not None:
+            validity = None
+            # validity=None ≡ all-valid: only materialize (and upload) a mask
+            # when some page actually carries nulls
+            if nullable and any(v is not None for (_l, v, _b, _p) in plans):
+                vparts = [
+                    np.ones(l, dtype=bool) if v is None else v
+                    for (l, v, _b, _p) in plans
+                ]
+                validity = jnp.asarray(np.concatenate(vparts))
+            return DeviceColumn(field.name, dtype, values, validity)
 
     # batched native decompression for raw-codec primitive pages
     raw_jobs = []
@@ -490,9 +588,7 @@ def decode_column_pages_device(
     vparts = []
     for idx, (length, validity, buf, p) in enumerate(plans):
         if nullable:
-            vparts.append(
-                np.ones(length, dtype=bool) if validity is None else validity
-            )
+            vparts.append((length, validity))
         if idx in bp_page_ref:
             gkey, off, n_vals = bp_page_ref[idx]
             flush_host()
@@ -542,9 +638,9 @@ def decode_column_pages_device(
                 arr = jax.lax.bitcast_convert_type(arr, jnp.dtype(np_dtype))
             device_parts.append(arr)
     values = (
-        jnp.concatenate(device_parts) if len(device_parts) > 1 else device_parts[0]
+        _concat_device(*device_parts) if len(device_parts) > 1 else device_parts[0]
     )
-    validity = jnp.asarray(np.concatenate(vparts)) if (nullable and vparts) else None
+    validity = _assemble_validity(vparts) if nullable else None
     return DeviceColumn(field.name, dtype, values, validity)
 
 
@@ -630,9 +726,7 @@ def _decode_binary_column_device(
         validity = None
         if nullable:
             validity, p = read_validity(buf, p, length)
-            vparts.append(
-                np.ones(length, dtype=bool) if validity is None else validity
-            )
+            vparts.append((length, validity))
         codec, csize, _us, body = read_header(buf, p)
         if codec == Compression.DICT:
             icodec, icsize, _ius, ibody = read_header(buf, body)
@@ -783,13 +877,11 @@ def _decode_binary_column_device(
             )
     flush_host()
     codes = (
-        jnp.concatenate(device_code_parts)
+        _concat_device(*device_code_parts)
         if len(device_code_parts) > 1
         else device_code_parts[0]
     )
-    validity = (
-        jnp.asarray(np.concatenate(vparts)) if (nullable and vparts) else None
-    )
+    validity = _assemble_validity(vparts) if nullable else None
     return DeviceColumn(
         field.name,
         field.type,
@@ -882,7 +974,9 @@ def scan_chunks(
         zones = read_zones(path)
         if zones:
             base_keep = prune_pages(zones, predicates, n_pages)
-    file_bytes = np.fromfile(path, dtype=np.uint8)
+    # mmap: compressed bytes stream straight from page cache into the
+    # native decompressors — no up-front whole-file read
+    file_bytes = np.memmap(path, dtype=np.uint8, mode="r")
     for start in range(0, n_pages, chunk_pages):
         stop = min(start + chunk_pages, n_pages)
         keep = np.zeros(n_pages, dtype=bool)
@@ -933,7 +1027,9 @@ def scan_file(
     with open(path, "rb") as f:
         schema = infer_schema(f)
         metas = read_meta(f)
-    file_bytes = np.fromfile(path, dtype=np.uint8)
+    # mmap: compressed bytes stream straight from page cache into the
+    # native decompressors — no up-front whole-file read
+    file_bytes = np.memmap(path, dtype=np.uint8, mode="r")
     keep = None
     if predicates:
         from .pruning import prune_pages, read_zones

@@ -153,6 +153,51 @@ def decompress_batch(codec: int, inputs, out_lens, n_threads: int = 0):
     return outs
 
 
+def decompress_batch_into(
+    codec: int,
+    inputs,
+    out_buf: np.ndarray,
+    out_offsets,
+    out_lens,
+    n_threads: int = 0,
+) -> None:
+    """Decompress pages in parallel directly into one contiguous buffer.
+
+    Each page ``i`` decodes to ``out_buf[out_offsets[i]:+out_lens[i]]`` —
+    no per-page allocation, no concatenate pass.  ``out_buf`` must be a
+    C-contiguous uint8 array large enough for every slice.
+    """
+    lib = _load()
+    assert lib is not None
+    n = len(inputs)
+    in_bufs = [
+        np.frombuffer(b, dtype=np.uint8) if not isinstance(b, np.ndarray) else b
+        for b in inputs
+    ]
+    base = out_buf.ctypes.data_as(ctypes.c_void_p).value
+    in_ptrs = (ctypes.c_void_p * n)(
+        *[b.ctypes.data_as(ctypes.c_void_p).value for b in in_bufs]
+    )
+    in_lens = (ctypes.c_int64 * n)(*[b.size for b in in_bufs])
+    out_ptrs = (ctypes.c_void_p * n)(
+        *[base + int(off) for off in out_offsets]
+    )
+    out_lens_c = (ctypes.c_int64 * n)(*[int(L) for L in out_lens])
+    rc = lib.sb_decompress_batch(
+        codec,
+        n,
+        ctypes.cast(in_ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        in_lens,
+        ctypes.cast(out_ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        out_lens_c,
+        n_threads,
+    )
+    if rc != 0:
+        from ..errors import OutOfSpecError
+
+        raise OutOfSpecError(f"native batch decompression failed (rc={rc})")
+
+
 def bp_walk(buf: np.ndarray, body: int, n_blocks: int):
     """Walk bitpacked block headers → (nbs u8 array, end offset).
 

@@ -1,0 +1,97 @@
+"""Fast whole-column host read: plan pages, batch-decompress on native threads
+directly into one output buffer, wrap zero-copy as arrow.
+
+The host-side analogue of the reference's batch read
+(`/root/reference/src/read/batch_read.rs:27-64` — all pages of a column into
+one growing Vec) redesigned around the planning idiom: page headers parse in
+one host pass, then ALL page bodies decompress in parallel C++ threads at
+their final offsets — no per-page allocation, no concatenate, no copy.
+
+Covers simple fixed-width columns whose pages are all common-codec
+(None/LZ4/Zstd/Snappy).  Everything else returns None and the caller uses
+the general streaming reader.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from .. import native
+from ..codecs import read_header
+from ..meta import ColumnMeta
+from .levels import read_validity
+
+
+def _arrow_fixed_np_dtype(t: pa.DataType) -> Optional[np.dtype]:
+    """numpy dtype whose byte layout equals the arrow values buffer, or None."""
+    if pa.types.is_integer(t):
+        return np.dtype(t.to_pandas_dtype())
+    if pa.types.is_floating(t) and t.bit_width in (32, 64):
+        return np.dtype(np.float32 if t.bit_width == 32 else np.float64)
+    if pa.types.is_date32(t):
+        return np.dtype(np.int32)
+    if pa.types.is_date64(t) or pa.types.is_timestamp(t):
+        return np.dtype(np.int64)
+    return None
+
+
+def read_column_fast(
+    file_bytes: np.ndarray, meta: ColumnMeta, field: pa.Field
+) -> Optional[pa.Array]:
+    """All-raw-codec fixed-width column → pa.Array, or None if ineligible."""
+    np_dtype = _arrow_fixed_np_dtype(field.type)
+    if np_dtype is None or not native.available():
+        return None
+    nullable = bool(field.nullable)
+    jobs = []  # (codec_int, in_slice, out_len)
+    validities = []  # per page: None (all valid) | bool array
+    pos = meta.offset
+    for page in meta.pages:
+        page_end = pos + page.length
+        buf = file_bytes[pos:page_end]
+        p = 0
+        if nullable:
+            v, p = read_validity(buf, 0, page.num_values)
+            validities.append(v)
+        codec, csize, _us, body = read_header(buf, p)
+        if not codec.raw_mode:
+            return None
+        jobs.append(
+            (int(codec), buf[body : body + csize], page.num_values * np_dtype.itemsize)
+        )
+        pos = page_end
+    n_rows = int(sum(p.num_values for p in meta.pages))
+    out_lens = np.asarray([j[2] for j in jobs], dtype=np.int64)
+    offsets = np.zeros(len(jobs) + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=offsets[1:])
+    out = np.empty(int(offsets[-1]), dtype=np.uint8)
+    i, n = 0, len(jobs)
+    while i < n:
+        j = i + 1
+        while j < n and jobs[j][0] == jobs[i][0]:
+            j += 1
+        native.decompress_batch_into(
+            jobs[i][0],
+            [c[1] for c in jobs[i:j]],
+            out,
+            offsets[i:j],
+            out_lens[i:j],
+        )
+        i = j
+    null_bitmap = None
+    if nullable and any(v is not None for v in validities):
+        vbits = np.concatenate(
+            [
+                np.ones(p.num_values, dtype=bool) if v is None else v
+                for v, p in zip(validities, meta.pages)
+            ]
+        )
+        null_bitmap = pa.py_buffer(
+            np.packbits(vbits, bitorder="little").tobytes()
+        )
+    return pa.Array.from_buffers(
+        field.type, n_rows, [null_bitmap, pa.py_buffer(out)]
+    )
