@@ -15,6 +15,14 @@ import jax
 import jax.numpy as jnp
 
 
+def _mask_sentinels(dtype):
+    """(max, min) fill values so masked slots never win a min/max reduce."""
+    if jnp.issubdtype(dtype, jnp.floating):
+        return jnp.array(jnp.inf, dtype), jnp.array(-jnp.inf, dtype)
+    info = jnp.iinfo(dtype)
+    return jnp.array(info.max, dtype), jnp.array(info.min, dtype)
+
+
 @jax.jit
 def stats_device(values: jax.Array, validity: Optional[jax.Array] = None):
     """Returns dict of the FamilyStats scalars the codec chooser needs."""
@@ -23,8 +31,9 @@ def stats_device(values: jax.Array, validity: Optional[jax.Array] = None):
         valid = jnp.ones((n,), jnp.bool_)
     else:
         valid = validity
-    vmin = jnp.min(values)
-    vmax = jnp.max(values)
+    hi, lo = _mask_sentinels(values.dtype)
+    vmin = jnp.min(jnp.where(valid, values, hi))
+    vmax = jnp.max(jnp.where(valid, values, lo))
     null_count = n - jnp.sum(valid.astype(jnp.int32))
     # run/sortedness over valid values, seeded with 0 (reference semantics)
     prev_val = jnp.concatenate([jnp.zeros((1,), values.dtype), values[:-1]])
@@ -68,6 +77,82 @@ def bitpacked_size_bytes(values_u32: jax.Array) -> jax.Array:
     """Exact encoded size of a bitpacked page (header byte + 16b per block)."""
     widths = block_bit_widths(values_u32)
     return jnp.sum(widths * 16 + 1)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(2,))
+def paged_stats_device(
+    values: jax.Array, validity: Optional[jax.Array], page_size: int
+):
+    """Per-page FamilyStats scalars for a whole column in ONE device call.
+
+    The writer's hot loop 1 (reference integer/mod.rs:179-229, a per-page
+    host scan + hashmap) becomes a reshape to (n_pages, page_size) and
+    masked row reductions — the idiomatic TPU formulation.  The tail page
+    pads with invalid slots.  Returns a dict of (n_pages,) arrays:
+    min/max/null_count/run_count/is_sorted/set_count/unique_est.
+    """
+    n = values.shape[0]
+    n_pages = -(-n // page_size)
+    pad = n_pages * page_size - n
+    valid = (
+        jnp.ones((n,), jnp.bool_) if validity is None else validity
+    )
+    v = jnp.pad(values, (0, pad))
+    m = jnp.pad(valid, (0, pad)).reshape(n_pages, page_size)
+    v = v.reshape(n_pages, page_size)
+    hi, lo = _mask_sentinels(values.dtype)
+    vmin = jnp.min(jnp.where(m, v, hi), axis=1)
+    vmax = jnp.max(jnp.where(m, v, lo), axis=1)
+    null_count = page_size - jnp.sum(m, axis=1) - (
+        jnp.arange(n_pages) == n_pages - 1
+    ) * pad
+    set_count = jnp.sum(m, axis=1) - 0  # pad slots are invalid already
+    # run/sortedness per page over valid values, seed 0 (reference semantics)
+    idx = jnp.arange(page_size)[None, :]
+    last_valid = jnp.maximum.accumulate(jnp.where(m, idx, -1), axis=1)
+    prev_idx = jnp.concatenate(
+        [jnp.full((n_pages, 1), -1), last_valid[:, :-1]], axis=1
+    )
+    prev_val = jnp.take_along_axis(v, jnp.clip(prev_idx, 0, page_size - 1), 1)
+    prev_val = jnp.where(prev_idx >= 0, prev_val, jnp.zeros((), v.dtype))
+    changed = m & (v != prev_val)
+    run_count = jnp.sum(changed, axis=1)
+    descending = m & (v < prev_val)
+    is_sorted = jnp.sum(descending, axis=1) == 0
+    # distinct estimate per page: hashed bucket occupancy (linear counting)
+    B = 1024
+    if jnp.issubdtype(v.dtype, jnp.floating):
+        bits = jax.lax.bitcast_convert_type(
+            v, jnp.uint32 if v.dtype.itemsize == 4 else jnp.uint64
+        )
+        h = bits.astype(jnp.uint64)
+    else:
+        h = v.astype(jnp.uint64)
+    h = (h ^ (h >> 30)) * jnp.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> 27)) * jnp.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> 31)
+    bucket = (h % jnp.uint64(B)).astype(jnp.int32)
+    page_idx = jnp.broadcast_to(jnp.arange(n_pages)[:, None], bucket.shape)
+    occ = (
+        jnp.zeros((n_pages, B), jnp.int32)
+        .at[page_idx, bucket]
+        .max(m.astype(jnp.int32))
+    )
+    occupied = jnp.sum(occ, axis=1).astype(jnp.float32)
+    frac = jnp.clip((B - occupied) / B, 1e-9, 1.0)
+    unique_est = (-B * jnp.log(frac)).astype(jnp.int32)
+    return {
+        "min": vmin,
+        "max": vmax,
+        "null_count": null_count,
+        "run_count": run_count,
+        "is_sorted": is_sorted,
+        "set_count": set_count,
+        "unique_est": unique_est,
+    }
 
 
 @jax.jit
