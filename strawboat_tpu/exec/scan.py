@@ -109,22 +109,39 @@ class DeviceTable:
 
 
 def _list_column_to_arrow(c) -> "pa.Array":
-    """Rebuild a pa.ListArray from a flattened DeviceListColumn (offsets +
-    flat child values [+ child/list validity])."""
+    """Rebuild a pa.ListArray from a flattened DeviceListColumn.
+
+    Multi-level layouts rebuild the full chain from ``offsets_stack``
+    (inner→outer) with per-level validity; dictionary-coded leaves decode
+    through the host dictionary."""
     child_vals = np.asarray(c.values)
     child_mask = (
         None if c.child_validity is None else ~np.asarray(c.child_validity)
     )
-    child = pa.array(child_vals, mask=child_mask)
-    offsets = np.asarray(c.offsets).astype(np.int32)
-    n = len(offsets) - 1
-    buffers = [None, pa.py_buffer(np.ascontiguousarray(offsets).tobytes())]
-    if c.validity is not None:
-        bitmap = np.packbits(np.asarray(c.validity), bitorder="little")
-        buffers[0] = pa.py_buffer(bitmap.tobytes())
-    arr = pa.Array.from_buffers(
-        pa.list_(child.type), n, buffers, children=[child]
+    if c.dictionary is not None:
+        child = c.dictionary.take(pa.array(child_vals, mask=child_mask))
+    else:
+        child = pa.array(child_vals, mask=child_mask)
+    stack = (
+        c.offsets_stack
+        if c.offsets_stack is not None
+        else (np.asarray(c.offsets),)
     )
+    validities = (
+        c.list_validities
+        if c.list_validities is not None
+        else ((np.asarray(c.validity) if c.validity is not None else None),)
+    )
+    arr = child
+    for offs, valid in reversed(list(zip(stack, validities))):
+        offs = np.ascontiguousarray(np.asarray(offs).astype(np.int32))
+        buffers = [None, pa.py_buffer(offs.tobytes())]
+        if valid is not None:
+            bitmap = np.packbits(np.asarray(valid), bitorder="little")
+            buffers[0] = pa.py_buffer(bitmap.tobytes())
+        arr = pa.Array.from_buffers(
+            pa.list_(arr.type), len(offs) - 1, buffers, children=[arr]
+        )
     if c.dtype is not None and arr.type != c.dtype:
         try:
             arr = arr.cast(c.dtype)
@@ -893,10 +910,21 @@ def _decode_binary_column_device(
 
 @dataclass
 class DeviceListColumn(DeviceColumn):
-    """list<numeric> on device: flattened child values + row offsets."""
+    """list-typed column on device: flattened leaf values + row offsets.
 
-    offsets: Optional[jax.Array] = None  # (n_rows + 1,) int32
-    child_validity: Optional[jax.Array] = None  # per flattened value
+    ``offsets`` is always the COMPOSED row→leaf-value mapping (usable
+    directly by segment ops like ``list_segment_sum`` regardless of depth).
+    For multi-level layouts (list<list<...>>) the full per-level offset
+    chain is kept in ``offsets_stack`` (outer→inner, each zero-based) with
+    matching per-level validities in ``list_validities``, so ``to_arrow``
+    can rebuild the exact nested array.  Ref: the reference's NestedState
+    (read_basic.rs:65-173) carries the same per-depth offsets/validity.
+    """
+
+    offsets: Optional[jax.Array] = None  # (n_rows + 1,) composed row→leaf
+    child_validity: Optional[jax.Array] = None  # per flattened leaf value
+    offsets_stack: Optional[tuple] = None  # per-level offsets, outer→inner
+    list_validities: Optional[tuple] = None  # per-level validity (or None)
 
     def __len__(self) -> int:
         return int(self.offsets.shape[0]) - 1 if self.offsets is not None else 0
@@ -905,39 +933,29 @@ class DeviceListColumn(DeviceColumn):
 def _flatten_nested_device(name: str, col) -> list:
     """Host nested column → flat device columns.
 
-    struct fields unnest to ``parent.child`` columns; list<numeric> becomes a
-    DeviceListColumn (offsets + flat child values); anything deeper stays on
-    host (returned empty).
+    struct fields unnest to ``parent.child`` columns; any chain of list
+    levels over a numeric/binary/struct leaf becomes DeviceListColumn(s)
+    with a per-level offset stack (list<list<numeric>>, list<struct<...>>,
+    map, fixed-size list all covered; ref batch_read.rs:66-187).  Binary
+    leaves ride as dictionary codes like top-level strings.  Unsupported
+    layouts raise instead of silently dropping the column.
     """
-    from ..columns import ListColumn, PrimitiveColumn, StructColumn
+    from ..columns import (
+        BinaryColumn,
+        FixedSizeListColumn,
+        ListColumn,
+        MapColumn,
+        PrimitiveColumn,
+        StructColumn,
+    )
 
     out = []
     if isinstance(col, StructColumn):
         for child, f in zip(col.children, col.dtype):
             out.extend(_flatten_nested_device(f"{name}.{f.name}", child))
         return out
-    if isinstance(col, ListColumn) and isinstance(col.child, PrimitiveColumn):
-        child = col.child
-        offs = col.offsets.astype(np.int32)
-        window = child.slice(int(offs[0]), int(offs[-1] - offs[0]))
-        validity = (
-            jnp.asarray(col.validity) if col.validity is not None else None
-        )
-        cvalid = (
-            jnp.asarray(window.validity) if window.validity is not None else None
-        )
-        out.append(
-            DeviceListColumn(
-                name,
-                col.dtype,
-                jnp.asarray(window.values),
-                validity,
-                None,
-                offsets=jnp.asarray(offs - offs[0]),
-                child_validity=cvalid,
-            )
-        )
-        return out
+    if isinstance(col, (ListColumn, MapColumn, FixedSizeListColumn)):
+        return _flatten_list_chain(name, col, [], [], col.dtype)
     if isinstance(col, PrimitiveColumn) and col.values.ndim == 1:
         out.append(
             DeviceColumn(
@@ -948,7 +966,121 @@ def _flatten_nested_device(name: str, col) -> list:
             )
         )
         return out
+    if isinstance(col, BinaryColumn):
+        return [_binary_leaf_device(name, col, col.dtype, None, None)]
+    raise NotYetImplementedError(
+        f"device layout for nested column {name!r} ({type(col).__name__})"
+    )
+
+
+def _flatten_list_chain(name, col, offs_chain, valid_chain, dtype):
+    """Walk list levels (list / map / fixed-size list), accumulating the
+    zero-based offsets chain; emit DeviceListColumn(s) at the leaf."""
+    from ..columns import (
+        BinaryColumn,
+        FixedSizeListColumn,
+        ListColumn,
+        MapColumn,
+        PrimitiveColumn,
+        StructColumn,
+    )
+
+    if isinstance(col, FixedSizeListColumn):
+        offs = np.arange(len(col) + 1, dtype=np.int64) * col.size
+        children = [("", col.child)]
+    elif isinstance(col, MapColumn):
+        offs = col.offsets.astype(np.int64)
+        children = [(".key", col.keys), (".value", col.items)]
+    else:  # ListColumn
+        offs = col.offsets.astype(np.int64)
+        children = [("", col.child)]
+
+    base, end = int(offs[0]), int(offs[-1])
+    offs0 = offs - base
+    chain = offs_chain + [offs0]
+    valids = valid_chain + [col.validity]
+
+    out = []
+    for suffix, child in children:
+        cname = name + suffix
+        window = child.slice(base, end - base)
+        if isinstance(window, (ListColumn, MapColumn, FixedSizeListColumn)):
+            out.extend(_flatten_list_chain(cname, window, chain, valids, dtype))
+        elif isinstance(window, StructColumn):
+            for sub, f in zip(window.children, window.dtype):
+                leaf = f"{cname}.{f.name}"
+                if isinstance(sub, PrimitiveColumn) and sub.values.ndim == 1:
+                    out.append(
+                        _emit_list_leaf(leaf, dtype, chain, valids, sub)
+                    )
+                elif isinstance(sub, BinaryColumn):
+                    out.append(
+                        _binary_leaf_device(leaf, sub, dtype, chain, valids)
+                    )
+                else:
+                    raise NotYetImplementedError(
+                        f"device layout for list<struct> field {leaf!r}"
+                    )
+        elif isinstance(window, PrimitiveColumn) and window.values.ndim == 1:
+            out.append(_emit_list_leaf(cname, dtype, chain, valids, window))
+        elif isinstance(window, BinaryColumn):
+            out.append(_binary_leaf_device(cname, window, dtype, chain, valids))
+        else:
+            raise NotYetImplementedError(
+                f"device layout for nested column {cname!r} "
+                f"({type(window).__name__} leaf)"
+            )
     return out
+
+
+def _compose_offsets(chain) -> np.ndarray:
+    """chain outer→inner, each zero-based → composed row→leaf offsets."""
+    comp = chain[0]
+    for inner in chain[1:]:
+        comp = inner[comp]
+    return comp
+
+
+def _emit_list_leaf(name, dtype, chain, valids, leaf) -> "DeviceListColumn":
+    comp = _compose_offsets(chain).astype(np.int32)
+    return DeviceListColumn(
+        name,
+        dtype,
+        jnp.asarray(leaf.values),
+        jnp.asarray(valids[0]) if valids[0] is not None else None,
+        None,
+        offsets=jnp.asarray(comp),
+        child_validity=(
+            jnp.asarray(leaf.validity) if leaf.validity is not None else None
+        ),
+        offsets_stack=tuple(np.asarray(o, dtype=np.int32) for o in chain),
+        list_validities=tuple(valids),
+    )
+
+
+def _binary_leaf_device(name, col, dtype, chain, valids):
+    """Binary/utf8 leaf → dictionary codes (+ optional list offsets)."""
+    enc = col.to_arrow().dictionary_encode()
+    codes = jnp.asarray(
+        enc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+    )
+    cvalid = (
+        jnp.asarray(col.validity) if col.validity is not None else None
+    )
+    if chain is None:
+        return DeviceColumn(name, dtype, codes, cvalid, enc.dictionary)
+    comp = _compose_offsets(chain).astype(np.int32)
+    return DeviceListColumn(
+        name,
+        dtype,
+        codes,
+        jnp.asarray(valids[0]) if valids[0] is not None else None,
+        enc.dictionary,
+        offsets=jnp.asarray(comp),
+        child_validity=cvalid,
+        offsets_stack=tuple(np.asarray(o, dtype=np.int32) for o in chain),
+        list_validities=tuple(valids),
+    )
 
 
 def scan_chunks(
