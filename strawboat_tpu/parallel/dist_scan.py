@@ -55,7 +55,9 @@ def distributed_scan(
     with open(path, "rb") as f:
         schema = infer_schema(f)
         metas = read_meta(f)
-    file_bytes = np.fromfile(path, dtype=np.uint8)
+    # mmap: each shard's decode touches only its own page byte ranges — the
+    # single-host analogue of per-shard object-store range reads
+    file_bytes = np.memmap(path, dtype=np.uint8, mode="r")
     n_pages = max(len(m.pages) for m in metas)
     ranges = shard_page_ranges(n_pages, n_shards)
 
