@@ -2,21 +2,28 @@
 
 The reference exposes page *skipping* primitives (``ColumnMeta::slice``,
 ``Iterator::nth`` seeks, src/lib.rs:46-65, reader.rs:91-116) and leaves stats
-to the engine above (Databend).  Here the writer can emit a zone-map sidecar
-(``<file>.zm.json``) and the scanner prunes page ranges whose [min, max]
-cannot satisfy a conjunctive predicate — pages are row-aligned across columns
-(same ``max_page_size`` grid), so a pruned page drops for every column.
+to the engine above (Databend).  Here the writer embeds an IN-BAND zone
+block in the file — between the page data and the schema bytes, terminated
+by ``[u32 payload_len][u32 ZONE_MAGIC]`` right at the schema start — so a
+footer-only reader (including one implementing just the reference layout)
+parses the file unchanged, while zone-aware scans prune page ranges whose
+[min, max] cannot satisfy a conjunctive predicate.  Pages are row-aligned
+across columns (same ``max_page_size`` grid), so a pruned page drops for
+every column.  Values serialize at full width (i64/u64/f64 by column kind),
+never through lossy f64-of-int conversion.
 """
 
 from __future__ import annotations
 
-import json
 import os
+import struct
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
+
+ZONE_MAGIC = 0x314D4E5A  # b"ZNM1" little-endian
 
 
 @dataclass
@@ -53,35 +60,108 @@ def _py(v):
     return int(v)
 
 
-def zones_path(path: str) -> str:
-    return path + ".zm.json"
+def _column_kind(cz: ColumnZones) -> str:
+    """'i' | 'u' | 'f' — the 8-byte representation for min/max."""
+    for p in cz.pages:
+        if p.min is None:
+            continue
+        if isinstance(p.min, float) or isinstance(p.max, float):
+            return "f"
+        if p.min < 0 or p.max < 0:
+            return "i"
+        if p.max > np.iinfo(np.int64).max:
+            return "u"
+    return "i"
 
 
-def write_zones(path: str, zones: Dict[str, ColumnZones]) -> None:
-    doc = {
-        name: [
-            {"min": p.min, "max": p.max, "nulls": p.null_count, "n": p.num_values}
-            for p in cz.pages
-        ]
-        for name, cz in zones.items()
-    }
-    with open(zones_path(path), "w") as f:
-        json.dump(doc, f)
+def serialize_zones(zones: Dict[str, ColumnZones]) -> bytes:
+    """In-band zone payload.
+
+    u32 n_columns, then per column: u16 name_len, name utf8, u8 kind,
+    u32 n_pages, then per page: u8 has_stats, 8B min, 8B max, u32 nulls,
+    u32 num_values.
+    """
+    out = bytearray()
+    out += struct.pack("<I", len(zones))
+    for name, cz in zones.items():
+        nb = name.encode()
+        kind = _column_kind(cz)
+        out += struct.pack("<H", len(nb)) + nb
+        out += kind.encode()
+        out += struct.pack("<I", len(cz.pages))
+        fmt = {"i": "<q", "u": "<Q", "f": "<d"}[kind]
+        for p in cz.pages:
+            has = p.min is not None
+            out += struct.pack("<B", 1 if has else 0)
+            out += struct.pack(fmt, (p.min if has else 0))
+            out += struct.pack(fmt, (p.max if has else 0))
+            out += struct.pack("<II", p.null_count, p.num_values)
+    return bytes(out)
+
+
+def deserialize_zones(payload: bytes) -> Dict[str, ColumnZones]:
+    pos = 0
+    (n_cols,) = struct.unpack_from("<I", payload, pos)
+    pos += 4
+    zones: Dict[str, ColumnZones] = {}
+    for _ in range(n_cols):
+        (nlen,) = struct.unpack_from("<H", payload, pos)
+        pos += 2
+        name = payload[pos : pos + nlen].decode()
+        pos += nlen
+        kind = payload[pos : pos + 1].decode()
+        pos += 1
+        if kind not in ("i", "u", "f"):
+            raise ValueError("bad zone column kind")
+        (n_pages,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        fmt = {"i": "<q", "u": "<Q", "f": "<d"}[kind]
+        pages = []
+        for _p in range(n_pages):
+            (has,) = struct.unpack_from("<B", payload, pos)
+            pos += 1
+            (mn,) = struct.unpack_from(fmt, payload, pos)
+            pos += 8
+            (mx,) = struct.unpack_from(fmt, payload, pos)
+            pos += 8
+            nulls, n = struct.unpack_from("<II", payload, pos)
+            pos += 8
+            pages.append(
+                PageZone(mn if has else None, mx if has else None, nulls, n)
+            )
+        zones[name] = ColumnZones(name, pages)
+    if pos != len(payload):
+        raise ValueError("trailing zone bytes")
+    return zones
+
+
+def zone_trailer(zones: Dict[str, ColumnZones]) -> bytes:
+    """payload + [u32 len][u32 ZONE_MAGIC]; written just before the schema."""
+    payload = serialize_zones(zones)
+    return payload + struct.pack("<II", len(payload), ZONE_MAGIC)
 
 
 def read_zones(path: str) -> Optional[Dict[str, ColumnZones]]:
-    zp = zones_path(path)
-    if not os.path.exists(zp):
+    """Locate and parse the in-band zone block (returns None if absent)."""
+    size = os.path.getsize(path)
+    if size < 32:
         return None
-    with open(zp) as f:
-        doc = json.load(f)
-    return {
-        name: ColumnZones(
-            name,
-            [PageZone(p["min"], p["max"], p["nulls"], p["n"]) for p in pages],
-        )
-        for name, pages in doc.items()
-    }
+    with open(path, "rb") as f:
+        f.seek(size - 16)
+        schema_size, meta_size = struct.unpack("<II", f.read(8))
+        schema_start = size - 16 - meta_size - schema_size
+        if schema_start < 16:
+            return None
+        f.seek(schema_start - 8)
+        plen, magic = struct.unpack("<II", f.read(8))
+        if magic != ZONE_MAGIC or plen > schema_start - 16:
+            return None
+        f.seek(schema_start - 8 - plen)
+        payload = f.read(plen)
+    try:
+        return deserialize_zones(payload)
+    except (ValueError, struct.error, UnicodeDecodeError):
+        return None  # magic collision with page bytes — not a zone block
 
 
 # ---------------------------------------------------------------------------
@@ -118,13 +198,30 @@ class Comparison:
 def prune_pages(
     zones: Dict[str, ColumnZones], predicates: Sequence[Comparison], n_pages: int
 ) -> np.ndarray:
-    """Boolean keep-mask over the row-aligned page grid."""
+    """Boolean keep-mask over the row-aligned page grid (vectorized)."""
     keep = np.ones(n_pages, dtype=bool)
     for pred in predicates:
         cz = zones.get(pred.column)
         if cz is None or len(cz.pages) != n_pages:
             continue
-        for i, z in enumerate(cz.pages):
-            if keep[i] and not pred.page_may_match(z):
-                keep[i] = False
+        has = np.array([p.min is not None for p in cz.pages])
+        lo = np.array([p.min if p.min is not None else 0 for p in cz.pages])
+        hi = np.array([p.max if p.max is not None else 0 for p in cz.pages])
+        v = pred.value
+        op = pred.op
+        if op == "gt":
+            may = hi > v
+        elif op == "ge":
+            may = hi >= v
+        elif op == "lt":
+            may = lo < v
+        elif op == "le":
+            may = lo <= v
+        elif op == "eq":
+            may = (lo <= v) & (v <= hi)
+        elif op == "ne":
+            may = ~((lo == v) & (hi == v))
+        else:
+            may = np.ones(n_pages, dtype=bool)
+        keep &= may & has
     return keep

@@ -155,6 +155,12 @@ class NativeWriter:
             raise OutOfSpecError(
                 "The strawboat file must be written before it can be finished"
             )
+        if self._zones:
+            # in-band zone block, invisible to footer-only readers (the
+            # schema/meta/sizes/EOS tail is byte-identical with or without it)
+            from ..exec.pruning import zone_trailer
+
+            self._write(zone_trailer(self._zones))
         schema_bytes = schema_to_bytes(self.schema)
         self._write(schema_bytes)
         meta_start = self._offset
@@ -197,11 +203,7 @@ def write_file(
         w = NativeWriter(f, schema, options)
         w.start()
         w.write(data)
-        w.finish()
-        if options is not None and options.zone_maps and own and w.zones:
-            from ..exec.pruning import write_zones
-
-            write_zones(path_or_file, w.zones)
+        w.finish()  # zone maps ride in-band (zone_trailer) when enabled
         return w.metas
     finally:
         if own:

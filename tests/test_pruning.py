@@ -68,3 +68,56 @@ def test_prune_eq(tmp_path):
     dt = scan_file(path, predicates=[Comparison("k", "eq", 5000)])
     assert len(dt["k"]) == 1024  # single page
     assert 5000 in np.asarray(dt["k"].values)
+
+
+def test_zones_are_in_band(tmp_path):
+    """No sidecar file: zones live between page data and the schema, and the
+    footer stays byte-identical in layout (readable by footer-only parsers)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from strawboat_tpu.api import read_table, write_file
+    from strawboat_tpu.codecs import WriteOptions
+    from strawboat_tpu.constants import Compression
+
+    table = pa.table({"k": pa.array(np.arange(4096, dtype=np.int64))})
+    path = str(tmp_path / "inband.str")
+    write_file(
+        path,
+        table,
+        options=WriteOptions(
+            default_compression=Compression.LZ4, max_page_size=1024, zone_maps=True
+        ),
+    )
+    assert not os.path.exists(path + ".zm.json")
+    zones = read_zones(path)
+    assert zones is not None and len(zones["k"].pages) == 4
+    # a zone-unaware footer reader parses the file unchanged
+    got = read_table(path)
+    assert got.column("k").to_pylist() == list(range(4096))
+
+
+def test_zone_serializer_preserves_width():
+    """i64 beyond 2^53, u64 beyond i64, floats and all-null pages all
+    roundtrip exactly (no lossy f64-of-int)."""
+    from strawboat_tpu.exec.pruning import (
+        ColumnZones,
+        PageZone,
+        deserialize_zones,
+        serialize_zones,
+    )
+
+    big = (1 << 62) + 12345
+    ubig = (1 << 63) + 7
+    zones = {
+        "i": ColumnZones("i", [PageZone(-big, big, 0, 10), PageZone(None, None, 10, 10)]),
+        "u": ColumnZones("u", [PageZone(0, ubig, 1, 8)]),
+        "f": ColumnZones("f", [PageZone(-0.5, 2.25, 2, 4)]),
+    }
+    got = deserialize_zones(serialize_zones(zones))
+    assert got["i"].pages[0].min == -big and got["i"].pages[0].max == big
+    assert got["i"].pages[1].min is None
+    assert got["u"].pages[0].max == ubig
+    assert got["f"].pages[0].min == -0.5 and got["f"].pages[0].max == 2.25
