@@ -51,6 +51,10 @@ class DeviceColumn:
     # string/binary columns ride as dictionary codes on device; the
     # dictionary itself stays host-side (pa.Array) for literal translation
     dictionary: Optional[pa.Array] = None
+    # float64 only: TPU stores f64 as a float32 pair (~49-bit mantissa), so
+    # a device round-trip is NOT bit-exact; the exact decoded bytes stay
+    # host-side for materialization/re-encode, device f64 serves compute
+    host_exact: Optional[np.ndarray] = None
 
     def __len__(self) -> int:
         return int(self.values.shape[0])
@@ -80,7 +84,9 @@ class DeviceTable:
                 arrays.append(_list_column_to_arrow(c))
                 names.append(name)
                 continue
-            vals = np.asarray(c.values)
+            vals = (
+                c.host_exact if c.host_exact is not None else np.asarray(c.values)
+            )
             validity = None if c.validity is None else np.asarray(c.validity)
             if sel is not None:
                 vals = vals[sel]
@@ -114,7 +120,9 @@ def _list_column_to_arrow(c) -> "pa.Array":
     Multi-level layouts rebuild the full chain from ``offsets_stack``
     (inner→outer) with per-level validity; dictionary-coded leaves decode
     through the host dictionary."""
-    child_vals = np.asarray(c.values)
+    child_vals = (
+        c.host_exact if c.host_exact is not None else np.asarray(c.values)
+    )
     child_mask = (
         None if c.child_validity is None else ~np.asarray(c.child_validity)
     )
@@ -427,7 +435,7 @@ def _assemble_validity(vparts):
     )
 
 
-def _decode_raw_column_streamed(plans, np_dtype) -> Optional[jax.Array]:
+def _decode_raw_column_streamed(plans, np_dtype, keep_exact=False):
     """Streamed decode for a column whose pages are ALL common-codec.
 
     Pages decompress on native threads directly into one pooled host arena
@@ -452,7 +460,7 @@ def _decode_raw_column_streamed(plans, np_dtype) -> Optional[jax.Array]:
     np.cumsum(out_lens, out=offsets[1:])
     total = int(offsets[-1])
     if total == 0:
-        return jnp.zeros(0, dtype=jnp.dtype(np_dtype))
+        return jnp.zeros(0, dtype=jnp.dtype(np_dtype)), None
     on_cpu = jax.default_backend() == "cpu"
     buf = arena.acquire(total) if not on_cpu else np.empty(total, dtype=np.uint8)
 
@@ -484,9 +492,10 @@ def _decode_raw_column_streamed(plans, np_dtype) -> Optional[jax.Array]:
         parts.append(jnp.asarray(view))  # async transfer; overlaps next chunk
         start = end
     values = _concat_device(*parts) if len(parts) > 1 else parts[0]
+    host_exact = buf.view(np_dtype).copy() if keep_exact else None
     if not on_cpu:
         arena.release(buf, parts)
-    return values
+    return values, host_exact
 
 
 def decode_column_pages_device(
@@ -523,11 +532,16 @@ def decode_column_pages_device(
         plans.append((length, validity, buf, p))
         pos = page_end
 
+    # f64 device round-trips are not bit-exact on TPU (f32-pair storage):
+    # keep the exact decoded bytes host-side for materialization/re-encode
+    exact_f64 = np_dtype is not None and np_dtype == np.dtype(np.float64)
+
     # fast path: all-common-codec column → streamed arena decode + chunked
     # overlapped upload (no per-page allocation, no concatenate pass)
     if not pa.types.is_boolean(dtype):
-        values = _decode_raw_column_streamed(plans, np_dtype)
-        if values is not None:
+        res = _decode_raw_column_streamed(plans, np_dtype, keep_exact=exact_f64)
+        if res is not None:
+            values, host_exact = res
             validity = None
             # validity=None ≡ all-valid: only materialize (and upload) a mask
             # when some page actually carries nulls
@@ -537,7 +551,9 @@ def decode_column_pages_device(
                     for (l, v, _b, _p) in plans
                 ]
                 validity = jnp.asarray(np.concatenate(vparts))
-            return DeviceColumn(field.name, dtype, values, validity)
+            return DeviceColumn(
+                field.name, dtype, values, validity, host_exact=host_exact
+            )
 
     # batched native decompression for raw-codec primitive pages
     raw_jobs = []
@@ -553,7 +569,9 @@ def decode_column_pages_device(
             parsed = _parse_uniform_bp_page(buf, body, length)
             if parsed is not None:
                 bp_jobs.append((idx, codec, *parsed, length))
-        elif codec == Compression.DICT and np_dtype is not None:
+        elif codec == Compression.DICT and np_dtype is not None and not (
+            np_dtype == np.dtype(np.float64)
+        ):
             # dict page whose index subpage is uniform bitpack: upload only
             # the packed index bits + the (small) dictionary, decode + gather
             # on device — instead of host-decoding and uploading 8B/row
@@ -596,10 +614,14 @@ def decode_column_pages_device(
     # fused group kernels; per-page eager jax ops are the enemy here
     parts = []  # (kind, payload): kind in {host, device}
     host_acc = []
+    host_keep = []  # exact f64 bytes (device f64 is lossy on TPU)
 
     def flush_host():
         if host_acc:
-            parts.append(("device", jnp.asarray(np.concatenate(host_acc))))
+            joined = np.concatenate(host_acc)
+            if exact_f64:
+                host_keep.append(joined)
+            parts.append(("device", jnp.asarray(joined)))
             host_acc.clear()
 
     vparts = []
@@ -658,7 +680,18 @@ def decode_column_pages_device(
         _concat_device(*device_parts) if len(device_parts) > 1 else device_parts[0]
     )
     validity = _assemble_validity(vparts) if nullable else None
-    return DeviceColumn(field.name, dtype, values, validity)
+    host_exact = None
+    if exact_f64 and host_keep:
+        # every f64 page decodes host-side (raw/structured/patas), so the
+        # kept parts cover the whole column in order
+        host_exact = (
+            np.concatenate(host_keep) if len(host_keep) > 1 else host_keep[0]
+        )
+        if len(host_exact) != int(values.shape[0]):
+            host_exact = None  # mixed device parts: no exact cover
+    return DeviceColumn(
+        field.name, dtype, values, validity, host_exact=host_exact
+    )
 
 
 def _decode_boolean_page_device(buf: np.ndarray, pos: int, length: int) -> jax.Array:
@@ -1043,12 +1076,18 @@ def _compose_offsets(chain) -> np.ndarray:
 
 def _emit_list_leaf(name, dtype, chain, valids, leaf) -> "DeviceListColumn":
     comp = _compose_offsets(chain).astype(np.int32)
+    exact = (
+        np.asarray(leaf.values)
+        if leaf.values.dtype == np.float64
+        else None
+    )
     return DeviceListColumn(
         name,
         dtype,
         jnp.asarray(leaf.values),
         jnp.asarray(valids[0]) if valids[0] is not None else None,
         None,
+        host_exact=exact,
         offsets=jnp.asarray(comp),
         child_validity=(
             jnp.asarray(leaf.validity) if leaf.validity is not None else None

@@ -196,7 +196,11 @@ def _encode_column_pages(col, field, page_size: int, options: WriteOptions):
         return
 
     vals_dev = col.values
-    np_vals = np.asarray(vals_dev)
+    np_vals = (
+        col.host_exact
+        if getattr(col, "host_exact", None) is not None
+        else np.asarray(vals_dev)
+    )
     if np_vals.dtype == np.bool_:
         # host fallback: boolean bitmap family
         from ..codecs import compress_boolean
