@@ -82,6 +82,19 @@ def bitpack_decode(buf, pos: int, length: int, dtype: np.dtype) -> Tuple[np.ndar
     n_blocks = (length + BLOCK_LEN - 1) // BLOCK_LEN
     from ..util.bits import unpack_blocks
 
+    # native one-pass decode (mixed widths included) when the runtime exists
+    from .. import native
+
+    if n_blocks and native.available():
+        res = native.bp_decode(
+            buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, np.uint8),
+            pos,
+            n_blocks,
+        )
+        if res is not None:
+            vals, end = res
+            return vals[:length].view(dtype), end
+
     # fast path: uniform width (one reshape instead of per-block gathers)
     if n_blocks:
         nb0 = int(buf[pos])

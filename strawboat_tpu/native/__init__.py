@@ -110,6 +110,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.c_void_p,
         ]
+        lib.sb_bp_decode.restype = ctypes.c_int64
+        lib.sb_bp_decode.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -230,6 +238,32 @@ def bp_walk(buf: np.ndarray, body: int, n_blocks: int):
         nbs[i] = nb
         p += 1 + nb * 16
     return nbs, p
+
+
+def bp_decode(buf: np.ndarray, pos: int, n_blocks: int):
+    """Decode a whole bitpacked page (mixed widths OK) in one C pass.
+
+    Returns (values u32 array of n_blocks*128, end offset) or None when the
+    native runtime is unavailable.  Raises on truncated input.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    if not isinstance(buf, np.ndarray):
+        buf = np.frombuffer(buf, dtype=np.uint8)
+    out = np.empty(n_blocks * 128, dtype=np.uint32)
+    end = lib.sb_bp_decode(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        buf.size,
+        pos,
+        n_blocks,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if end < 0:
+        from ..errors import OutOfSpecError
+
+        raise OutOfSpecError("bitpacked page truncated")
+    return out, int(end)
 
 
 def int_stats_native(values: np.ndarray, validity: Optional[np.ndarray]):

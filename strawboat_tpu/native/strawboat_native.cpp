@@ -327,3 +327,38 @@ extern "C" int64_t sb_bp_walk(const uint8_t* buf, int64_t buf_len, int64_t body,
   }
   return p <= buf_len ? p : -1;
 }
+
+// Decode a whole bitpacked page (BitPacker4x layout: per block
+// [u8 num_bits][num_bits*16 bytes], 4 interleaved 32-value lanes, LSB-first)
+// into out[n_blocks*128] u32.  Handles mixed widths in one pass.  Returns the
+// end offset, or -1 on truncated input.
+extern "C" int64_t sb_bp_decode(const uint8_t* buf, int64_t buf_len,
+                                int64_t pos, int64_t n_blocks, uint32_t* out) {
+  int64_t p = pos;
+  for (int64_t blk = 0; blk < n_blocks; ++blk) {
+    if (p >= buf_len) return -1;
+    const uint32_t b = buf[p];
+    p += 1;
+    uint32_t* o = out + blk * 128;
+    if (b == 0) {
+      std::memset(o, 0, 128 * sizeof(uint32_t));
+      continue;
+    }
+    if (b > 32 || p + (int64_t)b * 16 > buf_len) return -1;
+    uint32_t words[32 * 4];
+    std::memcpy(words, buf + p, (size_t)b * 16);
+    p += (int64_t)b * 16;
+    const uint32_t mask = b < 32 ? ((1u << b) - 1u) : 0xFFFFFFFFu;
+    for (uint32_t t = 0; t < 32; ++t) {
+      const uint32_t s = t * b;
+      const uint32_t w0 = s >> 5, sh = s & 31;
+      // word w of lane l sits at u32 index w*4 + l
+      for (uint32_t l = 0; l < 4; ++l) {
+        uint32_t v = words[w0 * 4 + l] >> sh;
+        if (sh + b > 32) v |= words[(w0 + 1) * 4 + l] << (32 - sh);
+        o[t * 4 + l] = v & mask;
+      }
+    }
+  }
+  return p;
+}
