@@ -415,6 +415,97 @@ def _decode_dict_group_arrays(dict_jobs, np_dtype, group_arrays, page_ref):
             off += n_blocks * 128
 
 
+def _parse_varwidth_bp_page(buf, body: int, length: int):
+    """Any bitpacked page → zero-padded words + per-block widths.
+
+    Returns (words (n, bmax*4) u32, n_blocks, widths (n,) i32, bmax) or None
+    without the native header walk.  One vectorized byte gather per distinct
+    width — no per-block python loop.
+    """
+    if not native.available():
+        return None
+    n_blocks = (length + 127) // 128
+    nbs, _end = native.bp_walk(buf, body, n_blocks)
+    widths = nbs.astype(np.int32)
+    bmax = int(widths.max()) if n_blocks else 0
+    if bmax == 0 or bmax > 32:
+        return None
+    sizes = 1 + widths.astype(np.int64) * 16
+    offs = np.zeros(n_blocks + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    offs += body
+    words = np.zeros((n_blocks, bmax * 4), dtype=np.uint32)
+    u8 = words.view(np.uint8)
+    for w in np.unique(widths):
+        w = int(w)
+        if w == 0:
+            continue
+        sel = np.flatnonzero(widths == w)
+        idx = offs[sel][:, None] + 1 + np.arange(w * 16)
+        u8[sel, : w * 16] = buf[idx]
+    return words, n_blocks, widths, bmax
+
+
+def _decode_varwidth_groups(bpv_jobs, group_arrays, page_ref):
+    """Decode mixed-width bitpacked pages with ONE varwidth kernel launch per
+    (kind, delta?) group — widths ride as data (bitunpack_varwidth_device),
+    so a page whose blocks span several widths costs no extra dispatches.
+
+    bpv_jobs: (idx, kind, words, n_blocks, widths, bmax, length, is_delta,
+    dvals|None); kind in {"bpv", "dictv"}.  Extends group_arrays/page_ref.
+    """
+    from collections import defaultdict
+
+    from ..kernels.decode import bitunpack_varwidth_device
+
+    groups = defaultdict(list)
+    for job in bpv_jobs:
+        groups[(job[1], job[7])].append(job)
+    for (kind, is_delta), jobs in groups.items():
+        bmax = max(j[5] for j in jobs)
+        padded = []
+        for j in jobs:
+            w = j[2]
+            if w.shape[1] < bmax * 4:
+                w = np.pad(w, ((0, 0), (0, bmax * 4 - w.shape[1])))
+            padded.append(w)
+        all_words = np.concatenate(padded, axis=0)
+        all_widths = np.concatenate([j[4] for j in jobs])
+        total = all_words.shape[0] * 128
+        dec = bitunpack_varwidth_device(
+            jnp.asarray(all_words), jnp.asarray(all_widths), bmax
+        ).reshape(-1)
+        slot_sizes = np.asarray([j[3] * 128 for j in jobs])
+        if is_delta:
+            # per-page prefix-sum restart (delta carries within a page only)
+            starts = np.zeros(len(jobs) + 1, dtype=np.int64)
+            np.cumsum(slot_sizes, out=starts[1:])
+            g = jnp.cumsum(dec.astype(jnp.uint32), dtype=jnp.uint32)
+            base = jnp.concatenate(
+                [jnp.zeros(1, jnp.uint32), g[jnp.asarray(starts[1:-1]) - 1]]
+            )
+            dec = g - jnp.repeat(
+                base, jnp.asarray(slot_sizes), total_repeat_length=total
+            )
+        if kind == "dictv":
+            dicts = [j[8] for j in jobs]
+            bases = np.zeros(len(jobs), dtype=np.int32)
+            bases[1:] = np.cumsum([len(d) for d in dicts[:-1]])
+            base_rep = jnp.repeat(
+                jnp.asarray(bases),
+                jnp.asarray(slot_sizes),
+                total_repeat_length=total,
+            )
+            all_dict = jnp.asarray(np.concatenate(dicts))
+            dec = dict_gather_device(dec.astype(jnp.int32) + base_rep, all_dict)
+        gkey = (kind, is_delta)
+        group_arrays[gkey] = dec
+        off = 0
+        for j in jobs:
+            page_ref[j[0]] = (gkey, off, j[3] * 128)
+            off += j[3] * 128
+
+
 _UPLOAD_CHUNK = 32 << 20  # bytes per staged host→device transfer
 
 # jitted concat: on relayed backends an eager concatenate of freshly
@@ -559,6 +650,7 @@ def decode_column_pages_device(
     raw_jobs = []
     bp_jobs = []  # (idx, codec, words, n_blocks, num_bits, length)
     dict_jobs = []  # (idx, words, n_blocks, idx_bits, length, dict_vals)
+    bpv_jobs = []  # mixed-width/delta pages: see _decode_varwidth_groups
     for idx, (length, _v, buf, p) in enumerate(plans):
         if pa.types.is_boolean(dtype):
             continue
@@ -569,25 +661,47 @@ def decode_column_pages_device(
             parsed = _parse_uniform_bp_page(buf, body, length)
             if parsed is not None:
                 bp_jobs.append((idx, codec, *parsed, length))
+            else:
+                pv = _parse_varwidth_bp_page(buf, body, length)
+                if pv is not None:
+                    words, n_blocks, widths, bmax = pv
+                    bpv_jobs.append(
+                        (idx, "bpv", words, n_blocks, widths, bmax, length,
+                         codec == Compression.DELTA_BITPACKING, None)
+                    )
         elif codec == Compression.DICT and np_dtype is not None and not (
             np_dtype == np.dtype(np.float64)
         ):
-            # dict page whose index subpage is uniform bitpack: upload only
-            # the packed index bits + the (small) dictionary, decode + gather
-            # on device — instead of host-decoding and uploading 8B/row
+            # dict page with bitpacked (or delta-bitpacked) index subpage:
+            # upload only the packed index bits + the (small) dictionary,
+            # decode + gather on device — not host-decode + 8B/row upload
             icodec, icsize, _ius, ibody = read_header(buf, body)
-            if icodec == Compression.BITPACKING:
-                parsed = _parse_uniform_bp_page(buf, ibody, length)
+            if icodec in (
+                Compression.BITPACKING,
+                Compression.DELTA_BITPACKING,
+            ):
+                vpos = ibody + icsize
+                count = int(np.frombuffer(buf, "<u4", 1, vpos)[0])
+                dvals = np.frombuffer(buf, np_dtype, count, vpos + 4).copy()
+                if count == 0:  # all-null page: codes are 0
+                    dvals = np.zeros(1, dtype=np_dtype)
+                parsed = (
+                    _parse_uniform_bp_page(buf, ibody, length)
+                    if icodec == Compression.BITPACKING
+                    else None
+                )
                 if parsed is not None:
                     words, n_blocks, b = parsed
-                    vpos = ibody + icsize
-                    count = int(np.frombuffer(buf, "<u4", 1, vpos)[0])
-                    dvals = np.frombuffer(
-                        buf, np_dtype, count, vpos + 4
-                    ).copy()
-                    if count == 0:  # all-null page: codes are 0
-                        dvals = np.zeros(1, dtype=np_dtype)
                     dict_jobs.append((idx, words, n_blocks, b, length, dvals))
+                else:
+                    pv = _parse_varwidth_bp_page(buf, ibody, length)
+                    if pv is not None:
+                        words, n_blocks, widths, bmax = pv
+                        bpv_jobs.append(
+                            (idx, "dictv", words, n_blocks, widths, bmax,
+                             length, icodec == Compression.DELTA_BITPACKING,
+                             dvals)
+                        )
     raw_results = {}
     if len(raw_jobs) > 1:
         from .. import native
@@ -609,6 +723,8 @@ def decode_column_pages_device(
         _decode_dict_group_arrays(
             dict_jobs, np_dtype, bp_group_arrays, bp_page_ref
         )
+    if bpv_jobs:
+        _decode_varwidth_groups(bpv_jobs, bp_group_arrays, bp_page_ref)
 
     # assembly: host parts concatenate in numpy (1 upload), device parts from
     # fused group kernels; per-page eager jax ops are the enemy here

@@ -144,6 +144,45 @@ def bitunpack_natural_device(words: np.ndarray, num_bits: int) -> jax.Array:
     return bitunpack_device(jnp.asarray(words), b).reshape(-1)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def bitunpack_varwidth_device(
+    words: jax.Array, widths: jax.Array, bmax: int
+) -> jax.Array:
+    """Unpack blocks whose bit width varies PER BLOCK (width is data).
+
+    words: (n_blocks, bmax * 4) uint32 — each block's body zero-padded to the
+    group's max width; widths: (n_blocks,) int32.  Returns (n_blocks, 128)
+    uint32.  The 32-step value loop unrolls statically; the per-block word
+    index becomes a tiny take_along_axis gather — no per-width host loop, no
+    recompiles per width mix.
+    """
+    n_blocks = words.shape[0]
+    if bmax == 0:
+        return jnp.zeros((n_blocks, BLOCK_LEN), dtype=jnp.uint32)
+    lanes = words.reshape(n_blocks, bmax, 4)
+    b = widths.astype(jnp.uint32)
+    mask = jnp.where(
+        b >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << b) - jnp.uint32(1)
+    )[:, None]
+    outs = []
+    for t in range(BLOCK_LEN // 4):  # 32 values per lane
+        s = jnp.uint32(t) * b
+        w0 = (s >> 5).astype(jnp.int32)
+        sh = s & jnp.uint32(31)
+        lo = jnp.take_along_axis(lanes, w0[:, None, None], axis=1)[:, 0, :]
+        w1 = jnp.minimum(w0 + 1, bmax - 1)
+        hi = jnp.take_along_axis(lanes, w1[:, None, None], axis=1)[:, 0, :]
+        lo = lo >> sh[:, None]
+        # (32 - sh) == 32 only when sh == 0, where hi is unused; clamp to
+        # keep the shift defined
+        hi = hi << jnp.minimum(jnp.uint32(32) - sh, jnp.uint32(31))[:, None]
+        spans = (sh + b > 32)[:, None]
+        v = jnp.where(spans, lo | hi, lo) & mask
+        outs.append(v)
+    out = jnp.stack(outs, axis=1)  # (n, 32, 4): value t*4 + lane
+    return out.reshape(n_blocks, BLOCK_LEN)
+
+
 def delta_bitunpack_device(words, num_bits: int) -> jax.Array:
     """Delta-bitpacked blocks → values via global prefix sum (mod 2^32)."""
     if isinstance(words, np.ndarray):
