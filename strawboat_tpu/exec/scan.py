@@ -100,6 +100,8 @@ class DeviceTable:
                 )
                 if c.dtype is not None and arr.type != c.dtype:
                     arr = arr.cast(c.dtype)
+            elif c.dtype is not None and pa.types.is_decimal(c.dtype):
+                arr = _decimal_to_arrow(c, vals, validity)
             else:
                 arr = pa.array(
                     vals, mask=None if validity is None else ~validity
@@ -826,6 +828,74 @@ def _decode_boolean_page_device(buf: np.ndarray, pos: int, length: int) -> jax.A
     return jnp.asarray(host_vals)
 
 
+def _decode_decimal_column_device(
+    file_bytes: np.ndarray,
+    meta: ColumnMeta,
+    field: pa.Field,
+    keep: Optional[np.ndarray] = None,
+) -> DeviceColumn:
+    """decimal128/256 column → unscaled int64 on device (precision ≤ 18).
+
+    10^18 < 2^63, so every decimal the reference's i128/i256 byte-matrix
+    family stores with precision ≤ 18 fits an int64 exactly — the TPU-native
+    money layout (int64 is lossless on device, unlike f64).  Wider decimals
+    raise rather than truncate.
+    """
+    from ..codecs.decimal import decompress_decimal
+
+    W = field.type.bit_width // 8
+    nullable = bool(field.nullable)
+    pos = meta.offset
+    mats = []
+    vparts = []
+    for i, page in enumerate(meta.pages):
+        page_end = pos + page.length
+        if keep is not None and not keep[i]:
+            pos = page_end
+            continue
+        buf = file_bytes[pos:page_end]
+        p = 0
+        length = page.num_values
+        validity = None
+        if nullable:
+            validity, p = read_validity(buf, p, length)
+            vparts.append((length, validity))
+        mat, _ = decompress_decimal(buf, p, length, W)
+        mats.append(np.ascontiguousarray(mat))
+        pos = page_end
+    if not mats:
+        return DeviceColumn(field.name, field.type, jnp.zeros(0, jnp.int64), None)
+    all_mat = np.concatenate(mats)
+    lo = all_mat[:, :8].copy().view(np.int64).reshape(-1)
+    sign_ext = np.where(lo < 0, np.uint8(255), np.uint8(0))
+    if field.type.precision > 18 or not (
+        all_mat[:, 8:] == sign_ext[:, None]
+    ).all():
+        raise NotYetImplementedError(
+            f"device scan of decimal {field.type} wider than int64"
+        )
+    validity = _assemble_validity(vparts) if nullable else None
+    return DeviceColumn(field.name, field.type, jnp.asarray(lo), validity)
+
+
+def _decimal_to_arrow(c, vals: np.ndarray, validity) -> "pa.Array":
+    """Unscaled int64 → decimal byte-matrix arrow array (sign-extended)."""
+    W = c.dtype.bit_width // 8
+    v = vals.astype(np.int64)
+    limbs = np.empty((len(v), W // 8), dtype="<i8")
+    limbs[:, 0] = v
+    if W > 8:
+        limbs[:, 1:] = (v >> 63)[:, None]
+    null_bitmap = None
+    if validity is not None:
+        null_bitmap = pa.py_buffer(
+            np.packbits(validity, bitorder="little").tobytes()
+        )
+    return pa.Array.from_buffers(
+        c.dtype, len(v), [null_bitmap, pa.py_buffer(limbs.tobytes())]
+    )
+
+
 def _dictionary_encode(arr: "pa.Array"):
     """Per-row dictionary encode (arrow C++).  Module-level seam so tests can
     assert the dict-page fast path never re-encodes row data."""
@@ -1290,6 +1360,8 @@ def scan_chunks(
                 or pa.types.is_large_binary(field.type)
             ):
                 col = _decode_binary_column_device(file_bytes, meta, field, keep)
+            elif pa.types.is_decimal(field.type):
+                col = _decode_decimal_column_device(file_bytes, meta, field, keep)
             else:
                 col = decode_column_pages_device(file_bytes, meta, field, keep)
             out[field.name] = col
@@ -1356,6 +1428,11 @@ def scan_file(
             or pa.types.is_large_binary(field.type)
         ):
             col = _decode_binary_column_device(file_bytes, meta, field, keep)
+            out[field.name] = col
+            num_rows = len(col)
+            continue
+        if pa.types.is_decimal(field.type):
+            col = _decode_decimal_column_device(file_bytes, meta, field, keep)
             out[field.name] = col
             num_rows = len(col)
             continue

@@ -201,6 +201,30 @@ def _encode_column_pages(col, field, page_size: int, options: WriteOptions):
         if getattr(col, "host_exact", None) is not None
         else np.asarray(vals_dev)
     )
+    if field.type is not None and pa.types.is_decimal(field.type):
+        # device layout is unscaled int64; file layout is the i128/i256
+        # byte matrix (reference decimal family)
+        from ..codecs.decimal import compress_decimal
+
+        W = field.type.bit_width // 8
+        v = np_vals.astype(np.int64)
+        limbs = np.empty((len(v), W // 8), dtype="<i8")
+        limbs[:, 0] = v
+        if W > 8:
+            limbs[:, 1:] = (v >> 63)[:, None]
+        mat = limbs.view(np.uint8).reshape(len(v), W)
+        for off in range(0, n, page_size):
+            ln = min(page_size, n - off)
+            pv = None if np_validity is None else np_validity[off : off + ln]
+            out = bytearray()
+            if field.nullable:
+                out += _validity_prelude(
+                    None if pv is None or pv.all() else pv, ln
+                )
+            out += compress_decimal(mat[off : off + ln], pv, options, W)
+            yield bytes(out), ln
+        return
+
     if np_vals.dtype == np.bool_:
         # host fallback: boolean bitmap family
         from ..codecs import compress_boolean

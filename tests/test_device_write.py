@@ -240,3 +240,14 @@ def test_empty_table(tmp_path):
     table = pa.table({"a": pa.array([], pa.int64())})
     got, _ = _roundtrip(tmp_path, table)
     assert got.num_rows == 0
+
+
+def test_decimal_roundtrip(tmp_path):
+    """decimal128(≤18) rides as unscaled int64 on device; re-encode emits
+    the i128 byte-matrix family back."""
+    from decimal import Decimal
+
+    vals = [Decimal("1.23"), Decimal("-45.10"), None, Decimal("999.99")] * 300
+    table = pa.table({"d": pa.array(vals, pa.decimal128(12, 2))})
+    got, _ = _roundtrip(tmp_path, table)
+    assert got.column("d").to_pylist() == vals

@@ -371,3 +371,31 @@ def test_scan_chunks_streaming(tmp_path):
     assert total_rows == n
     assert total_v == int(v.sum())
     assert n_chunks == 4  # ceil(10 pages / 3)
+
+
+def test_decimal_device_scan_and_filter(tmp_path):
+    """decimal columns scan to unscaled int64 and filter as money ints."""
+    from decimal import Decimal
+
+    import numpy as np
+
+    from strawboat_tpu.api import write_file
+    from strawboat_tpu.codecs import WriteOptions
+    from strawboat_tpu.constants import Compression
+    from strawboat_tpu.exec import col, scan_file
+
+    vals = [Decimal("1.00"), Decimal("2.50"), None, Decimal("-3.75")] * 200
+    table = pa.table({"d": pa.array(vals, pa.decimal128(10, 2))})
+    path = str(tmp_path / "dec.str")
+    write_file(
+        path,
+        table,
+        options=WriteOptions(
+            default_compression=Compression.LZ4, max_page_size=128
+        ),
+    )
+    dt = scan_file(path)
+    assert dt["d"].values.dtype == np.int64
+    assert dt.to_arrow().column("d").to_pylist() == vals
+    mask = (col("d") > 100).mask(dt)  # unscaled cents
+    assert int(np.asarray(mask).sum()) == 200  # the 2.50 rows
