@@ -9,16 +9,27 @@ unchanged over real chips via ICI).
 Usage: python examples/dist_bench.py [rows_per_shard] [max_devices]
 """
 
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
+# a scaling sweep needs a multi-device mesh; this box has ONE real chip, so
+# default to an 8-device virtual CPU mesh (pass --tpu to use the real chips)
+if "--tpu" not in sys.argv:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 
 def main() -> int:
     import jax
 
-    if jax.default_backend() != "tpu" and jax.device_count() == 1:
+    if "--tpu" not in sys.argv:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np

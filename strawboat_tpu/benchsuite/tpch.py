@@ -12,6 +12,8 @@ cents (sum_base_price), cents/100 (sum_disc_price) and cents/10000
 
 from __future__ import annotations
 
+import functools
+
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -185,15 +187,41 @@ def q1(table, delta_days: int = Q1_DEFAULT_DELTA) -> pa.Table:
     return _q1_rows_to_table(flags, statuses, cols)
 
 
+@functools.lru_cache(maxsize=8)
+def _q1_dense_fused(n_ls: int, ng: int):
+    """One jitted executable for all Q1 dense aggregates (cached per shape —
+    a fresh jit wrapper per call would re-trace every time)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..exec.aggregate import dense_group_sum
+
+    @jax.jit
+    def _all(rf_codes, ls_codes, qty, ep, disc, tax, mask):
+        code = rf_codes * n_ls + ls_codes
+        disc_price = ep * (jnp.int64(100) - disc)
+        charge = disc_price * (jnp.int64(100) + tax)
+        sum_qty, cnt = dense_group_sum(code, qty, ng, mask)
+        sum_base, _ = dense_group_sum(code, ep, ng, mask)
+        sum_dp, _ = dense_group_sum(code, disc_price, ng, mask)
+        sum_ch, _ = dense_group_sum(code, charge, ng, mask)
+        sum_disc, _ = dense_group_sum(code, disc, ng, mask)
+        return jnp.stack([sum_qty, sum_base, sum_dp, sum_ch, sum_disc, cnt])
+
+    return _all
+
+
 def q1_dense(table, delta_days: int = Q1_DEFAULT_DELTA) -> pa.Table:
     """TPC-H Q1 on the MXU dense-code path.
 
     The composite key (returnflag, linestatus) is 6 dense dictionary-code
     values, so per-group sums become one-hot matmuls (``dense_group_sum``) —
-    far less HBM traffic than sort-based grouping.  Same result table as
+    far less HBM traffic than sort-based grouping.  All five sums + the
+    count compute inside ONE jitted call and come back in ONE fetch (each
+    synchronous fetch costs a relay round trip).  Same result table as
     :func:`q1`.
     """
-    import jax.numpy as jnp
+    import jax
 
     from ..exec import col
     from ..exec.aggregate import dense_group_sum
@@ -204,17 +232,20 @@ def q1_dense(table, delta_days: int = Q1_DEFAULT_DELTA) -> pa.Table:
     ls = table["l_linestatus"]
     n_rf = len(rf.dictionary)
     n_ls = len(ls.dictionary)
-    code = rf.values * n_ls + ls.values
     ng = n_rf * n_ls
-    ep = table["l_extendedprice"].values
-    disc = table["l_discount"].values
-    disc_price = ep * (jnp.int64(100) - disc)
-    charge = disc_price * (jnp.int64(100) + table["l_tax"].values)
-    sum_qty, cnt = dense_group_sum(code, table["l_quantity"].values, ng, mask)
-    sum_base, _ = dense_group_sum(code, ep, ng, mask)
-    sum_dp, _ = dense_group_sum(code, disc_price, ng, mask)
-    sum_ch, _ = dense_group_sum(code, charge, ng, mask)
-    sum_disc, _ = dense_group_sum(code, disc, ng, mask)
+
+    stacked = np.asarray(
+        _q1_dense_fused(n_ls, ng)(
+            rf.values,
+            ls.values,
+            table["l_quantity"].values,
+            table["l_extendedprice"].values,
+            table["l_discount"].values,
+            table["l_tax"].values,
+            mask,
+        )
+    )
+    sum_qty, sum_base, sum_dp, sum_ch, sum_disc, cnt = stacked
     cnt_np = np.asarray(cnt)
     live = np.flatnonzero(cnt_np > 0)
     flags = _decode_key_strings(rf, live // n_ls)
