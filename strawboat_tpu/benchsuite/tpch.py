@@ -67,28 +67,40 @@ def generate_lineitem(
 # Q6
 
 
+@functools.lru_cache(maxsize=1)
+def _q6_fused():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _run(sd, disc, qty, ep):
+        d0, d1 = 731, 1096  # 1994-01-01 .. 1995-01-01, days since 1992-01-01
+        m = (
+            (sd >= d0)
+            & (sd < d1)
+            & (disc >= 5)
+            & (disc <= 7)
+            & (qty < 24)
+        )
+        return jnp.sum(jnp.where(m, ep * disc, 0))
+
+    return _run
+
+
 def q6(table):
     """TPC-H Q6: revenue from discounted small shipments in 1994.
 
     revenue = sum(extendedprice * discount) where shipdate in [1994, 1995),
-    discount in [5, 7] (hundredths), quantity < 24.
+    discount in [5, 7] (hundredths), quantity < 24.  Predicate + aggregate
+    fuse into one executable (eager per-op dispatch costs a relay round
+    trip apiece).
     """
-    from ..exec import col
-    from ..exec.aggregate import scalar_aggregate
-
-    d0, d1 = 731, 1096  # 1994-01-01 .. 1995-01-01 in days since 1992-01-01
-    pred = (
-        (col("l_shipdate") >= d0)
-        & (col("l_shipdate") < d1)
-        & (col("l_discount") >= 5)
-        & (col("l_discount") <= 7)
-        & (col("l_quantity") < 24)
+    return _q6_fused()(
+        table["l_shipdate"].values,
+        table["l_discount"].values,
+        table["l_quantity"].values,
+        table["l_extendedprice"].values,
     )
-    mask = pred.mask(table)
-    revenue = scalar_aggregate(
-        table["l_extendedprice"].values * table["l_discount"].values, mask, "sum"
-    )
-    return revenue
 
 
 def q6_pruning_predicates():
