@@ -101,6 +101,35 @@ def bench_e2e_scan(tmpdir: str):
         parquet_read_gbps=round(pq_gbps, 3),
     )
 
+    # write A/B (the reference's criterion benches: write_strawboat vs
+    # write_parquet, benches/write_strawboat.rs:51-70)
+    opts = WriteOptions(
+        default_compression=Compression.LZ4,
+        default_compress_ratio=None,
+        max_page_size=65536,
+    )
+    t_w = best(
+        lambda: _timed(
+            lambda: write_file(os.path.join(tmpdir, "w.str"), table, options=opts)
+        )
+    )
+    t_wpq = best(
+        lambda: _timed(
+            lambda: pq.write_table(
+                table, os.path.join(tmpdir, "w.parquet"), compression="lz4"
+            )
+        )
+    )
+    w_gbps = n * 8 / t_w / 1e9
+    wpq_gbps = n * 8 / t_wpq / 1e9
+    emit(
+        "write_throughput",
+        w_gbps,
+        "GB/s",
+        w_gbps / wpq_gbps,
+        parquet_write_gbps=round(wpq_gbps, 3),
+    )
+
     def scan_once():
         t0 = time.perf_counter()
         dt = scan_file(path)

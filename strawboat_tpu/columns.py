@@ -399,12 +399,15 @@ def from_arrow(arr: pa.Array) -> Column:
         return PrimitiveColumn(
             dtype, _arrow_validity(arr), vals.reshape(len(arr), width).copy()
         )
-    # primitive numeric / temporal: store as the raw storage integer/float
+    # primitive numeric / temporal: store as the raw storage integer/float.
+    # Zero-copy view into the arrow buffer (numpy holds the buffer ref);
+    # columns are read-only downstream, and a copy of a large column costs a
+    # first-touch page-fault storm on small-vCPU hosts
     np_dtype = _np_storage_dtype(dtype)
     width = dtype.bit_width // 8
     raw = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
     vals = raw[(arr.offset) * width : (arr.offset + len(arr)) * width].view(np_dtype)
-    return PrimitiveColumn(dtype, _arrow_validity(arr), vals.copy())
+    return PrimitiveColumn(dtype, _arrow_validity(arr), vals)
 
 
 def _np_storage_dtype(dtype: pa.DataType) -> np.dtype:
