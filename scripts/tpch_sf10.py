@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""One-off TPC-H SF10 measurement (BASELINE config 4: lineitem SF10,
+multi-column scan, predicate filter + zone-map pruning, single host).
+
+Writes the 60M-row lineitem once, then times host read, device scan (Q6
+columns) with and without pruning, and Q1/Q6 warm.  Records go to stdout;
+run manually (too long for the driver bench watchdog through the relay).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import numpy as np
+    import jax
+
+    from strawboat_tpu.api import read_table, write_file
+    from strawboat_tpu.benchsuite.tpch import (
+        generate_lineitem, q1_dense, q6, q6_numpy_reference,
+        q6_pruning_predicates,
+    )
+    from strawboat_tpu.codecs import WriteOptions
+    from strawboat_tpu.constants import Compression
+    from strawboat_tpu.exec import scan_file
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    n = int(os.environ.get("SF10_ROWS", 60_000_000))
+    t0 = time.perf_counter()
+    table = generate_lineitem(scale=10.0, rows=n)
+    print(f"gen: {time.perf_counter()-t0:.1f}s ({n} rows)", flush=True)
+    path = "/tmp/lineitem_sf10.str"
+    t0 = time.perf_counter()
+    write_file(path, table, options=WriteOptions(
+        default_compression=Compression.LZ4, default_compress_ratio=1.0,
+        max_page_size=65536, sample_seed=3, zone_maps=True))
+    dt_w = time.perf_counter() - t0
+    sz = os.path.getsize(path)
+    print(f"write: {dt_w:.1f}s = {n/dt_w/1e6:.1f} Mrows/s, {sz/1e6:.0f} MB on disk", flush=True)
+
+    q6_cols = ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
+    def scan_q6(preds):
+        t0 = time.perf_counter()
+        d = scan_file(path, columns=q6_cols, predicates=preds)
+        rev = q6(d)
+        v = int(rev)
+        return time.perf_counter() - t0, v
+    preds = q6_pruning_predicates()
+    scan_q6(None); scan_q6(preds)  # warm
+    t_full = min(scan_q6(None)[0] for _ in range(2))
+    t_pruned, rev = min((scan_q6(preds) for _ in range(2)), key=lambda x: x[0])
+    print(f"scan+Q6 full: {t_full:.2f}s = {n/t_full/1e6:.1f} Mrows/s", flush=True)
+    print(f"scan+Q6 pruned: {t_pruned:.2f}s (speedup {t_full/t_pruned:.2f}x)", flush=True)
+    t0 = time.perf_counter(); ref = q6_numpy_reference(table)
+    t_np = time.perf_counter() - t0
+    assert rev == ref, (rev, ref)
+    print(f"Q6 correct vs numpy ({t_np:.2f}s single-core)", flush=True)
+
+    t0 = time.perf_counter(); ht = read_table(path); t_host = time.perf_counter()-t0
+    decoded = sum(
+        c.nbytes if hasattr(c, "nbytes") else 0
+        for col in ht.columns for c in col.chunks[0].buffers() if c is not None
+    )
+    print(f"host read_table: {t_host:.2f}s = {n/t_host/1e6:.1f} Mrows/s ({decoded/1e9:.2f} GB decoded)", flush=True)
+
+    dt = scan_file(path)
+    q1_dense(dt)
+    t_q1 = min(_timed(lambda: q1_dense(dt)) for _ in range(3))
+    t_q6 = min(_timed(lambda: float(q6(dt))) for _ in range(3))
+    print(f"Q1 warm (device-resident): {t_q1*1e3:.0f} ms", flush=True)
+    print(f"Q6 warm (device-resident): {t_q6*1e3:.0f} ms", flush=True)
+
+
+def _timed(fn):
+    t0 = time.perf_counter(); fn(); return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()

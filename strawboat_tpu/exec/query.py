@@ -33,6 +33,7 @@ class Query:
     _order: List = field(default_factory=list)
     _limit: Optional[int] = None
     _distinct: bool = False
+    _join: Optional[Tuple] = None  # (build Query, (probe_col, build_col), max_fanout)
 
     def select(self, *columns: str) -> "Query":
         self._columns = list(columns)
@@ -51,6 +52,21 @@ class Query:
 
     def agg(self, **aggs: Tuple[str, str]) -> "Query":
         self._aggs.update(aggs)
+        return self
+
+    def join(self, other, on: Tuple[str, str], max_fanout: int = 1) -> "Query":
+        """Inner equi-join against another file/query (build side).
+
+        ``on`` = (probe_column, build_column).  Build keys are expected
+        near-unique (``max_fanout`` bounds duplicates; overflow grows and
+        retries — never silent truncation).  Filters/aggregates applied
+        after ``join`` see both sides' columns.
+        """
+        self._join = (
+            other if isinstance(other, Query) else Query(other),
+            tuple(on),
+            max_fanout,
+        )
         return self
 
     def order_by(self, *items) -> "Query":
@@ -77,7 +93,14 @@ class Query:
 
     def run(self):
         table = self.scan()
+        join_valid = None
+        if self._join is not None:
+            table, join_valid = self._apply_join(table)
         mask = self._filter.mask(table) if self._filter is not None else None
+        if join_valid is not None:
+            import jax.numpy as jnp
+
+            mask = join_valid if mask is None else jnp.logical_and(mask, join_valid)
         keys, aggs = self._keys, self._aggs
         if self._distinct and not keys:
             cols = self._columns or list(table.columns.keys())
@@ -129,7 +152,66 @@ class Query:
             {n: table.columns[n] for n in self._columns}, table.num_rows
         )
 
+    def _apply_join(self, table: DeviceTable):
+        """Materialize the inner join: gather both sides by the match
+        indices; returns (joined table, row-valid mask)."""
+        from ..errors import NotYetImplementedError, OutOfSpecError
+        from .join import hash_join
+
+        other_q, on, max_fanout = self._join
+        build = other_q.scan()
+        if other_q._filter is not None:
+            # build-side filter: rows failing it must never match — fold the
+            # mask into the build key's validity (null keys cannot match)
+            import dataclasses
+
+            import jax.numpy as jnp
+
+            bmask = other_q._filter.mask(build)
+            bk = build.columns[on[1]]
+            bvalid = bmask if bk.validity is None else jnp.logical_and(
+                bk.validity, bmask
+            )
+            build = DeviceTable(
+                {**build.columns, on[1]: dataclasses.replace(bk, validity=bvalid)},
+                build.num_rows,
+            )
+        pi, bi, valid = hash_join(table, build, on=on, max_fanout=max_fanout)
+
+        def _gather(c, idx):
+            if getattr(c, "offsets", None) is not None:
+                raise NotYetImplementedError(
+                    f"join over list column {c.name!r}"
+                )
+            from .scan import DeviceColumn
+
+            return DeviceColumn(
+                c.name,
+                c.dtype,
+                c.values[idx],
+                None if c.validity is None else c.validity[idx],
+                c.dictionary,
+                # joined f64 values carry device precision; exact bytes do
+                # not survive a device gather
+                host_exact=None,
+            )
+
+        cols = {}
+        for name, c in table.columns.items():
+            cols[name] = _gather(c, pi)
+        for name, c in build.columns.items():
+            if name in cols:
+                raise OutOfSpecError(
+                    f"join: column name {name!r} exists on both sides"
+                )
+            cols[name] = _gather(c, bi)
+        return DeviceTable(cols, int(pi.shape[0])), valid
+
     def _referenced_columns(self) -> Optional[List[str]]:
+        if self._join is not None:
+            # probe-side refs cannot be split from build-side refs without a
+            # catalog; scan everything (build side scans via its own Query)
+            return None
         filter_refs = list(self._filter.refs) if self._filter is not None else []
         if self._filter is not None and not filter_refs:
             # an Expr built outside the tracked constructors: no soundness

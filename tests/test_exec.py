@@ -399,3 +399,77 @@ def test_decimal_device_scan_and_filter(tmp_path):
     assert dt.to_arrow().column("d").to_pylist() == vals
     mask = (col("d") > 100).mask(dt)  # unscaled cents
     assert int(np.asarray(mask).sum()) == 200  # the 2.50 rows
+
+
+def test_query_join_group_by(tmp_path):
+    """Q3-shaped query through the fluent API: lineitem ⋈ orders, build-side
+    date filter, revenue grouped by order priority — vs numpy."""
+    import numpy as np
+
+    from strawboat_tpu.api import write_file
+    from strawboat_tpu.benchsuite.tpch import generate_lineitem, generate_orders
+    from strawboat_tpu.codecs import WriteOptions
+    from strawboat_tpu.constants import Compression
+    from strawboat_tpu.exec import Query, col
+
+    li = generate_lineitem(0.001)
+    orders = generate_orders(0.001)
+    lp = str(tmp_path / "li.str")
+    op = str(tmp_path / "o.str")
+    opts = WriteOptions(default_compression=Compression.LZ4, max_page_size=1024)
+    write_file(lp, li, options=opts)
+    write_file(op, orders, options=opts)
+
+    res = (
+        Query(lp)
+        .join(Query(op).filter(col("o_orderdate") < 1000),
+              on=("l_orderkey", "o_orderkey"))
+        .group_by("o_orderpriority", num_groups=64)
+        .agg(revenue=("sum", col("l_extendedprice") * (100 - col("l_discount"))))
+        .run()
+    )
+    n = int(res["n_groups"])
+    got = dict(
+        zip(
+            np.asarray(res["key_o_orderpriority"])[:n].tolist(),
+            np.asarray(res["revenue"])[:n].tolist(),
+        )
+    )
+
+    # numpy reference
+    lk = np.asarray(li.column("l_orderkey"))
+    ep = np.asarray(li.column("l_extendedprice"))
+    disc = np.asarray(li.column("l_discount"))
+    odate = np.asarray(orders.column("o_orderdate"))
+    oprio = np.asarray(orders.column("o_orderpriority"))
+    ok = np.asarray(orders.column("o_orderkey"))
+    pos = np.searchsorted(ok, lk)
+    matched = (pos < len(ok)) & (ok[np.clip(pos, 0, len(ok) - 1)] == lk)
+    matched &= odate[np.clip(pos, 0, len(ok) - 1)] < 1000
+    rev = ep * (100 - disc)
+    ref = {}
+    for g in np.unique(oprio):
+        m = matched & (oprio[np.clip(pos, 0, len(ok) - 1)] == g)
+        if m.any():
+            ref[int(g)] = int(rev[m].sum())
+    assert got == ref
+
+
+def test_query_join_name_conflict_raises(tmp_path):
+    import pyarrow as pa
+
+    from strawboat_tpu.api import write_file
+    from strawboat_tpu.codecs import WriteOptions
+    from strawboat_tpu.constants import Compression
+    from strawboat_tpu.errors import OutOfSpecError
+    from strawboat_tpu.exec import Query
+
+    t = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    p1, p2 = str(tmp_path / "a.str"), str(tmp_path / "b.str")
+    opts = WriteOptions(default_compression=Compression.LZ4)
+    write_file(p1, t, options=opts)
+    write_file(p2, t, options=opts)
+    with pytest.raises(OutOfSpecError):
+        Query(p1).join(p2, on=("k", "k")).group_by("k").agg(
+            c=("count", "k")
+        ).run()
