@@ -192,6 +192,65 @@ class ColExpr(Expr):
             return self._str_cmp(o, negate=True)
         return super().__ne__(o)
 
+    def _str_range(self, literal, op: str) -> "Expr":
+        """Lexical <,<=,>,>= against a string literal on a dictionary-coded
+        column: codes remap through the dictionary's sorted rank (host
+        argsort of the small dictionary), and the literal becomes a rank
+        threshold via searchsorted — no per-row string work."""
+
+        def f(t):
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            c = t[self.name]
+            if c.dictionary is None:
+                raise NotImplementedError(
+                    f"string comparison on non-dictionary column {self.name!r}"
+                )
+            lit_val = literal.encode() if isinstance(literal, str) else literal
+            d = c.dictionary.cast(pa.large_binary())
+            order = pc.sort_indices(d).to_numpy(zero_copy_only=False)
+            rank = np.empty(len(d), dtype=np.int32)
+            rank[order] = np.arange(len(d), dtype=np.int32)
+            sorted_vals = [d[int(i)].as_py() for i in order]
+            import bisect
+
+            lo = bisect.bisect_left(sorted_vals, lit_val)
+            hi = bisect.bisect_right(sorted_vals, lit_val)
+            r = jnp.asarray(rank)[jnp.clip(c.values, 0, len(rank) - 1)]
+            if op == "lt":
+                m = r < lo
+            elif op == "le":
+                m = r < hi
+            elif op == "gt":
+                m = r >= hi
+            else:  # ge
+                m = r >= lo
+            return m, c.validity
+
+        return Expr(f, refs=(self.name,))
+
+    def __lt__(self, o):
+        if isinstance(o, (str, bytes)):
+            return self._str_range(o, "lt")
+        return super().__lt__(o)
+
+    def __le__(self, o):
+        if isinstance(o, (str, bytes)):
+            return self._str_range(o, "le")
+        return super().__le__(o)
+
+    def __gt__(self, o):
+        if isinstance(o, (str, bytes)):
+            return self._str_range(o, "gt")
+        return super().__gt__(o)
+
+    def __ge__(self, o):
+        if isinstance(o, (str, bytes)):
+            return self._str_range(o, "ge")
+        return super().__ge__(o)
+
     def isin(self, values) -> "Expr":
         def f(t):
             c = t[self.name]

@@ -473,3 +473,44 @@ def test_query_join_name_conflict_raises(tmp_path):
         Query(p1).join(p2, on=("k", "k")).group_by("k").agg(
             c=("count", "k")
         ).run()
+
+
+def test_string_range_comparisons(tmp_path):
+    """Lexical <,<=,>,>= on dictionary-coded utf8 columns (rank remap)."""
+    import os
+
+    import numpy as np
+
+    from strawboat_tpu.api import write_file
+    from strawboat_tpu.codecs import WriteOptions
+    from strawboat_tpu.constants import Compression
+    from strawboat_tpu.exec import col, scan_file
+
+    rng = np.random.default_rng(0)
+    words = ["apple", "banana", "cherry", "date", "elderberry"]
+    vals = [words[i] for i in rng.integers(0, len(words), 2000)]
+    t = pa.table({"s": pa.array(vals, pa.string())})
+    path = str(tmp_path / "s.str")
+    os.environ["STRAWBOAT_DICT_COMPRESSION"] = "1"
+    try:
+        write_file(
+            path,
+            t,
+            options=WriteOptions(
+                default_compression=Compression.LZ4, max_page_size=512
+            ),
+        )
+    finally:
+        del os.environ["STRAWBOAT_DICT_COMPRESSION"]
+    dt = scan_file(path)
+    arr = np.asarray(vals)
+    for expr, ref in [
+        (col("s") < "cherry", arr < "cherry"),
+        (col("s") <= "cherry", arr <= "cherry"),
+        (col("s") > "cherry", arr > "cherry"),
+        (col("s") >= "cherry", arr >= "cherry"),
+        (col("s") < "blueberry", arr < "blueberry"),  # literal not in dict
+        (col("s") >= "zzz", arr >= "zzz"),  # above all
+    ]:
+        got = np.asarray(expr.mask(dt))
+        assert np.array_equal(got, ref)
