@@ -625,6 +625,9 @@ def decode_column_pages_device(
         plans.append((length, validity, buf, p))
         pos = page_end
 
+    if pa.types.is_boolean(dtype):
+        return _decode_boolean_column_batched(plans, field, nullable)
+
     # f64 device round-trips are not bit-exact on TPU (f32-pair storage):
     # keep the exact decoded bytes host-side for materialization/re-encode
     exact_f64 = np_dtype is not None and np_dtype == np.dtype(np.float64)
@@ -810,6 +813,45 @@ def decode_column_pages_device(
     return DeviceColumn(
         field.name, dtype, values, validity, host_exact=host_exact
     )
+
+
+def _decode_boolean_column_batched(plans, field, nullable) -> DeviceColumn:
+    """All boolean pages → ONE packed-bit upload + one device expand.
+
+    Raw pages contribute their bitmap bytes directly; structured pages
+    (RLE/OneValue) host-decode then re-pack.  Pages with a non-byte-multiple
+    row count (only ever the last on the fixed page grid) keep bit
+    alignment by going through the bool repack.
+    """
+    from ..codecs import decompress_boolean
+
+    parts = []  # np.uint8 packed (byte-aligned) | ("bits", bool array)
+    vparts = []
+    aligned = True
+    bools = []
+    for length, validity, buf, p in plans:
+        if nullable:
+            vparts.append((length, validity))
+        codec, csize, _us, body = read_header(buf, p)
+        if codec.raw_mode:
+            raw = common_codec.decompress(
+                codec, bytes(buf[body : body + csize]), (length + 7) // 8
+            )
+            bits = np.unpackbits(
+                np.frombuffer(raw, np.uint8), count=length, bitorder="little"
+            ).astype(bool)
+        else:
+            bits, _ = decompress_boolean(buf, p, length)
+            bits = np.asarray(bits, dtype=bool)
+        bools.append(bits)
+    if not bools:
+        return DeviceColumn(field.name, field.type, jnp.zeros(0, jnp.bool_), None)
+    all_bits = np.concatenate(bools)
+    total = len(all_bits)
+    packed = np.packbits(all_bits, bitorder="little")
+    values = unpack_validity_device(jnp.asarray(packed), total)
+    validity = _assemble_validity(vparts) if nullable else None
+    return DeviceColumn(field.name, field.type, values, validity)
 
 
 def _decode_boolean_page_device(buf: np.ndarray, pos: int, length: int) -> jax.Array:
