@@ -76,3 +76,56 @@ def test_writer_state_machine(tmp_path):
     w.finish()
     with pytest.raises(OutOfSpecError):
         w.finish()
+
+
+def test_zone_block_truncated_payload_ignored(tmp_path):
+    """A corrupted in-band zone block must never crash or mis-prune: the
+    reader validates structure and falls back to no-zones."""
+    import numpy as np
+    import pyarrow as pa
+
+    from strawboat_tpu.api import write_file
+    from strawboat_tpu.codecs import WriteOptions
+    from strawboat_tpu.constants import Compression
+    from strawboat_tpu.exec.pruning import read_zones
+
+    table = pa.table({"k": pa.array(np.arange(4096, dtype=np.int64))})
+    path = str(tmp_path / "z.str")
+    write_file(
+        path,
+        table,
+        options=WriteOptions(
+            default_compression=Compression.LZ4, max_page_size=1024,
+            zone_maps=True,
+        ),
+    )
+    data = bytearray(open(path, "rb").read())
+    assert read_zones(path) is not None
+    # find the zone trailer (8 bytes before schema) and corrupt the payload
+    import struct
+
+    schema_size, meta_size = struct.unpack("<II", bytes(data[-16:-8]))
+    schema_start = len(data) - 16 - meta_size - schema_size
+    # clobber a byte inside the payload length field → structural parse fail
+    data[schema_start - 8] ^= 0xFF
+    bad = str(tmp_path / "bad.str")
+    open(bad, "wb").write(bytes(data))
+    assert read_zones(bad) is None  # never raises, never garbage zones
+
+
+def test_file_without_zone_block_reads_none(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from strawboat_tpu.api import write_file
+    from strawboat_tpu.codecs import WriteOptions
+    from strawboat_tpu.constants import Compression
+    from strawboat_tpu.exec.pruning import read_zones
+
+    table = pa.table({"k": pa.array(np.arange(128, dtype=np.int64))})
+    path = str(tmp_path / "nz.str")
+    write_file(
+        path, table,
+        options=WriteOptions(default_compression=Compression.LZ4),
+    )
+    assert read_zones(path) is None
