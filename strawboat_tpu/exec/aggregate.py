@@ -21,15 +21,32 @@ _AGG_FNS = {
 }
 
 
+def _col_u64(c: jax.Array) -> jax.Array:
+    """Bijective 64-bit image of one key column (equality-preserving).
+
+    Ints/bools map via two's-complement wrap; floats map via bitcast (never
+    value truncation) — so two rows share an image iff their stored key bits
+    are equal.  Grouping on images is therefore *exact* per column."""
+    if jnp.issubdtype(c.dtype, jnp.floating):
+        if c.dtype == jnp.float64:
+            return jax.lax.bitcast_convert_type(c, jnp.uint64)
+        return jax.lax.bitcast_convert_type(
+            c.astype(jnp.float32), jnp.uint32
+        ).astype(jnp.uint64)
+    return c.astype(jnp.uint64)
+
+
 def _key_u64(cols: Sequence[jax.Array]) -> jax.Array:
-    """Combine key columns into one 64-bit mixing key (order-preserving for
-    a single int key; hashed combination otherwise)."""
-    k = cols[0].astype(jnp.uint64)
+    """One 64-bit *reporting* key (identity for a single int key; hashed mix
+    otherwise).  Grouping itself never relies on this — see
+    :func:`grouped_aggregate`'s lexicographic sort — so a mixing collision
+    can never merge groups; it only makes two report keys look alike."""
+    k = _col_u64(cols[0])
     if len(cols) == 1:
         return k
     acc = k
     for c in cols[1:]:
-        c = c.astype(jnp.uint64)
+        c = _col_u64(c)
         acc = acc * jnp.uint64(0x9E3779B97F4A7C15) + c + jnp.uint64(0x85EBCA6B)
     return acc
 
@@ -44,18 +61,35 @@ def grouped_aggregate(
 ):
     """Group rows by composite key; returns (unique_keys, n_groups, aggs...).
 
+    Grouping is **exact** for any number of key columns: rows sort
+    lexicographically over the per-column 64-bit images (``lax.sort`` with
+    ``num_keys`` = all key columns), so two rows share a group iff every key
+    column matches — no hashed-combination collisions (the round-2 silent
+    -wrong-answer class).  The returned ``unique_keys`` u64 is a *label*
+    (mixed hash for composites), not the grouping basis.
+
     Capacity ``num_groups`` is static; overflow groups collapse into the last
     slot (caller sizes capacity from planning stats / zone maps).
     """
-    key = _key_u64(key_cols)
-    n = key.shape[0]
+    imgs = [_col_u64(c) for c in key_cols]
+    n = imgs[0].shape[0]
+    sort_keys = list(imgs)
     if mask is not None:
-        # masked-out rows get the max key → sorted to the end
-        key = jnp.where(mask, key, jnp.uint64(0xFFFFFFFFFFFFFFFF))
-    order = jnp.argsort(key)
+        # masked-out rows sort to the end (primary key: 0 valid / 1 masked)
+        sort_keys = [jnp.where(mask, 0, 1).astype(jnp.uint8)] + sort_keys
+    row_ids = jnp.arange(n, dtype=jnp.int32)
+    sorted_ops = jax.lax.sort(
+        tuple(sort_keys) + (row_ids,), num_keys=len(sort_keys)
+    )
+    order = sorted_ops[-1]
+    simgs = sorted_ops[1:-1] if mask is not None else sorted_ops[:-1]
+    key = _key_u64(key_cols)
     skey = key[order]
+    diff = jnp.zeros((max(n - 1, 0),), jnp.bool_)
+    for si in simgs:
+        diff = diff | (si[1:] != si[:-1])
     new_seg = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32), (skey[1:] != skey[:-1]).astype(jnp.int32)]
+        [jnp.ones((1,), jnp.int32), diff.astype(jnp.int32)]
     )
     if mask is not None:
         valid_sorted = mask[order]

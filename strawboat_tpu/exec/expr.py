@@ -54,7 +54,9 @@ class Expr:
         ):
             from .pruning import Comparison
 
-            atoms = (Comparison(self.name, opname, float(other)),)
+            # literal stays exact: an int64 above 2^53 must not round through
+            # float, else an eq/ge atom can prune a page that actually matches
+            atoms = (Comparison(self.name, opname, other),)
         if op is jnp.logical_and:
             atoms = self.atoms + other_e.atoms
         return Expr(f, atoms, self.refs + other_e.refs)

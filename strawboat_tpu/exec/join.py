@@ -21,6 +21,7 @@ def _join_indices(
     build_keys: jax.Array,
     probe_keys: jax.Array,
     max_fanout: int,
+    build_valid: jax.Array | None = None,
 ):
     """Inner-join row indices.
 
@@ -29,6 +30,11 @@ def _join_indices(
     matching build rows.  ``max_run`` is the true largest match count per
     probe key — when it exceeds ``max_fanout``, matches were truncated and
     the caller must retry with a larger fan-out (``hash_join`` does).
+
+    ``build_valid`` masks null build rows out of the match set directly (no
+    in-band sentinel value: a legitimate key equal to any sentinel would
+    otherwise spuriously match nulls).  Null rows keep their decoded key in
+    the sort, so equal-key runs stay contiguous; their matches drop here.
     """
     order = jnp.argsort(build_keys)
     sk = build_keys[order]
@@ -40,6 +46,8 @@ def _join_indices(
     valid = idx < hi[:, None]
     idx = jnp.clip(idx, 0, sk.shape[0] - 1)
     build_idx = order[idx]
+    if build_valid is not None:
+        valid = valid & build_valid[build_idx]
     probe_idx = jnp.broadcast_to(
         jnp.arange(n_probe, dtype=lo.dtype)[:, None], idx.shape
     )
@@ -74,14 +82,11 @@ def hash_join(
     bk = build_table[on[1]]
     probe_keys = pk.values
     build_keys = bk.values
-    if bk.validity is not None:
-        # send null build keys to a sentinel that cannot match
-        build_keys = jnp.where(
-            bk.validity, build_keys, jnp.asarray(-(2**62), build_keys.dtype)
-        )
     fanout = max_fanout
     while True:
-        pi, bi, valid, max_run = _join_indices(build_keys, probe_keys, fanout)
+        pi, bi, valid, max_run = _join_indices(
+            build_keys, probe_keys, fanout, bk.validity
+        )
         need = int(jax.device_get(max_run))
         if need <= fanout:
             break

@@ -38,6 +38,9 @@ class PageZone:
 class ColumnZones:
     name: str
     pages: List[PageZone]
+    # 'i' | 'u' | 'f' — native width of min/max (set on read; derived on
+    # write).  Pruning compares in this width, never through lossy f64-of-int.
+    kind: Optional[str] = None
 
 
 def compute_zones(
@@ -62,6 +65,8 @@ def _py(v):
 
 def _column_kind(cz: ColumnZones) -> str:
     """'i' | 'u' | 'f' — the 8-byte representation for min/max."""
+    if cz.kind in ("i", "u", "f"):
+        return cz.kind
     for p in cz.pages:
         if p.min is None:
             continue
@@ -129,7 +134,7 @@ def deserialize_zones(payload: bytes) -> Dict[str, ColumnZones]:
             pages.append(
                 PageZone(mn if has else None, mx if has else None, nulls, n)
             )
-        zones[name] = ColumnZones(name, pages)
+        zones[name] = ColumnZones(name, pages, kind)
     if pos != len(payload):
         raise ValueError("trailing zone bytes")
     return zones
@@ -170,11 +175,15 @@ def read_zones(path: str) -> Optional[Dict[str, ColumnZones]]:
 
 @dataclass(frozen=True)
 class Comparison:
-    """column <op> literal — the prunable predicate atoms."""
+    """column <op> literal — the prunable predicate atoms.
+
+    ``value`` keeps the caller's type: a Python int literal is compared
+    exactly (never rounded through float — an i64 above 2^53 would otherwise
+    let an eq/ge atom prune a page that matches)."""
 
     column: str
     op: str  # gt ge lt le eq ne
-    value: float
+    value: "float | int"
 
     def page_may_match(self, z: PageZone) -> bool:
         if z.min is None:  # all-null page
@@ -195,6 +204,50 @@ class Comparison:
         return True
 
 
+def _prune_float_vs_int(
+    lo: np.ndarray, hi: np.ndarray, op: str, v: float, n_pages: int
+) -> np.ndarray:
+    """May-match mask for a float literal over integer zone bounds, computed
+    with exact integer arithmetic (``math.floor`` of a finite float is an
+    exact Python int; int64/uint64-vs-python-int comparisons are exact in
+    numpy ≥ 1.25)."""
+    import math
+
+    all_ = np.ones(n_pages, dtype=bool)
+    none = np.zeros(n_pages, dtype=bool)
+    if math.isnan(v):
+        # x <op> NaN is false for every row; ne is true for every row
+        return all_ if op == "ne" else none
+    if math.isinf(v):
+        pos = v > 0
+        if op == "gt":
+            return none if pos else all_
+        if op == "ge":
+            return none if pos else all_
+        if op == "lt":
+            return all_ if pos else none
+        if op == "le":
+            return all_ if pos else none
+        if op == "eq":
+            return none
+        return all_  # ne
+    fv = math.floor(v)
+    is_int = v == fv
+    if op == "gt":
+        return hi >= fv + 1
+    if op == "ge":
+        return hi >= (fv if is_int else fv + 1)
+    if op == "lt":
+        return lo <= (fv - 1 if is_int else fv)
+    if op == "le":
+        return lo <= fv
+    if op == "eq":
+        return ((lo <= fv) & (fv <= hi)) if is_int else none
+    if op == "ne":
+        return ~((lo == fv) & (hi == fv)) if is_int else all_
+    return all_
+
+
 def prune_pages(
     zones: Dict[str, ColumnZones], predicates: Sequence[Comparison], n_pages: int
 ) -> np.ndarray:
@@ -205,10 +258,24 @@ def prune_pages(
         if cz is None or len(cz.pages) != n_pages:
             continue
         has = np.array([p.min is not None for p in cz.pages])
-        lo = np.array([p.min if p.min is not None else 0 for p in cz.pages])
-        hi = np.array([p.max if p.max is not None else 0 for p in cz.pages])
+        # build min/max at the column's native width: np.array() of mixed
+        # -magnitude python ints silently promotes to float64, which is lossy
+        # above 2^53 — exactly the rounding this module promises not to do
+        zdt = {"i": np.int64, "u": np.uint64, "f": np.float64}[_column_kind(cz)]
+        lo = np.array(
+            [p.min if p.min is not None else 0 for p in cz.pages], dtype=zdt
+        )
+        hi = np.array(
+            [p.max if p.max is not None else 0 for p in cz.pages], dtype=zdt
+        )
         v = pred.value
         op = pred.op
+        if zdt is not np.float64 and isinstance(v, float):
+            # float literal against an integer zone: translate to an exact
+            # integer bound (int64 promoted to float64 rounds above 2^53)
+            may = _prune_float_vs_int(lo, hi, op, v, n_pages)
+            keep &= may & has
+            continue
         if op == "gt":
             may = hi > v
         elif op == "ge":

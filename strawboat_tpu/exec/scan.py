@@ -1206,11 +1206,19 @@ def _flatten_nested_device(name: str, col) -> list:
         FixedSizeListColumn,
         ListColumn,
         MapColumn,
+        NullColumn,
         PrimitiveColumn,
         StructColumn,
     )
 
     out = []
+    if isinstance(col, NullColumn):
+        n = len(col)
+        return [
+            DeviceColumn(
+                name, col.dtype, jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.bool_)
+            )
+        ]
     if isinstance(col, StructColumn):
         for child, f in zip(col.children, col.dtype):
             out.extend(_flatten_nested_device(f"{name}.{f.name}", child))
@@ -1394,6 +1402,22 @@ def scan_chunks(
             if columns is not None and field.name not in columns:
                 continue
             if not is_primitive(field.type) or pa.types.is_null(field.type):
+                # nested columns decode the chunk's kept pages host-side and
+                # flatten like scan_file — a chunked scan must never return
+                # fewer columns than a whole-file scan
+                from ..read.batch_read import batch_read_column
+                from ..read.reader import open_readers_subset
+
+                readers = open_readers_subset(path, metas[i - n : i], keep)
+                host_col = batch_read_column(readers, field)
+                for r in readers:
+                    r.page_reader.close()
+                last = None
+                for dc in _flatten_nested_device(field.name, host_col):
+                    out[dc.name] = dc
+                    last = dc
+                if last is not None and not isinstance(last, DeviceListColumn):
+                    num_rows = len(last)
                 continue
             if (
                 pa.types.is_string(field.type)
@@ -1454,9 +1478,13 @@ def scan_file(
             # nested columns: host-decode then flatten to device representation
             # (list<numeric> → offsets + flat child; struct → dotted children)
             from ..read.batch_read import batch_read_column
-            from ..read.reader import open_readers
+            from ..read.reader import open_readers, open_readers_subset
 
-            readers = open_readers(path, metas[i - n : i])
+            readers = (
+                open_readers_subset(path, metas[i - n : i], keep)
+                if keep is not None
+                else open_readers(path, metas[i - n : i])
+            )
             host_col = batch_read_column(readers, field)
             for r in readers:
                 r.page_reader.close()

@@ -55,9 +55,9 @@ def _build(
 
         pk2, p_out, pv2, pneed = exchange(pk, p_payloads, p_valid, probe_capacity)
         bk2, b_out, bv2, bneed = exchange(bk, b_payloads, b_valid, build_capacity)
-        # local join: send invalid build keys to a non-matching sentinel
-        bk2m = jnp.where(bv2, bk2, jnp.asarray(-(2**62), bk2.dtype))
-        pi, bi, jvalid, max_run = _join_indices(bk2m, pk2, max_fanout)
+        # local join: invalid build rows mask out of the match set directly
+        # (no sentinel value a legitimate key could collide with)
+        pi, bi, jvalid, max_run = _join_indices(bk2, pk2, max_fanout, bv2)
         jvalid = jnp.logical_and(jvalid, jnp.repeat(pv2, max_fanout))
         out_p = tuple(c[pi] for c in p_out)
         out_b = tuple(c[bi] for c in b_out)

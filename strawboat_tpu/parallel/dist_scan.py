@@ -6,14 +6,26 @@ src/lib.rs:46-65) — decodes only its pages, and the resulting columns are
 device_put with a ``shards``-axis sharding so the shuffle/aggregate stages
 run directly on top.
 
+Column coverage mirrors the single-chip scan (every leaf the reference's
+batch reader handles, src/read/batch_read.rs:27-209, minus nested layouts
+which raise): numerics, decimals (unscaled int64), booleans, and utf8/binary.
+String columns ride as **dictionary codes against one global dictionary**:
+each shard decodes its pages to (codes, local dict) with the zero-re-encode
+dict-page path, the small per-shard dictionaries merge host-side into a
+global pool (on a real pod: a host-level allgather of dictionaries at plan
+time — dictionaries are KB-scale, rows never move), and each shard's codes
+remap through a per-shard translation gather on device.  Downstream shuffle/
+aggregate/join then treat string keys as plain int32 payloads.
+
 On a multi-host pod each process calls this with its own ``process_index``;
 in single-host simulation all shards decode locally and are placed across
-the virtual devices.
+the virtual devices.  ``local_shard_table`` is the per-process byte-range
+path: it opens the file and decodes ONLY the calling process's page range.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +33,13 @@ import numpy as np
 import pyarrow as pa
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..exec.scan import DeviceTable, decode_column_pages_device
+from ..errors import NotYetImplementedError
+from ..exec.scan import (
+    DeviceTable,
+    _decode_binary_column_device,
+    _decode_decimal_column_device,
+    decode_column_pages_device,
+)
 from ..meta import ColumnMeta
 from ..read.reader import infer_schema, read_meta
 from ..schema import is_primitive, n_leaf_columns
@@ -40,6 +58,49 @@ def shard_page_ranges(n_pages: int, n_shards: int) -> List[range]:
     return out
 
 
+def _is_stringlike(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_large_binary(t)
+    )
+
+
+def _decode_shard_column(file_bytes, meta, field, keep):
+    """One shard's pages of one column → DeviceColumn (dispatch by type)."""
+    if _is_stringlike(field.type):
+        return _decode_binary_column_device(file_bytes, meta, field, keep)
+    if pa.types.is_decimal(field.type):
+        return _decode_decimal_column_device(file_bytes, meta, field, keep)
+    return decode_column_pages_device(file_bytes, meta, field, keep)
+
+
+def _merge_dictionaries(dicts: List[pa.Array]) -> Tuple[pa.Array, List[np.ndarray]]:
+    """Global dictionary + per-shard code translation tables.
+
+    Pool-dedup over the concatenated per-shard dictionaries only (KB-scale;
+    row data never re-encodes) — the same idiom as the single-chip merge in
+    ``_decode_binary_column_device``.  On a real pod the pool is built from
+    an allgather of the per-process dictionaries.
+    """
+    import pyarrow.compute as pc
+
+    pool = pa.concat_arrays([d.cast(pa.binary()) for d in dicts])
+    global_dict = pc.unique(pool)
+    remap = (
+        pc.index_in(pool, value_set=global_dict)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int32)
+    )
+    tables = []
+    base = 0
+    for d in dicts:
+        tables.append(remap[base : base + len(d)])
+        base += len(d)
+    return global_dict, tables
+
+
 def distributed_scan(
     path: str,
     mesh: Mesh,
@@ -49,8 +110,11 @@ def distributed_scan(
     """Scan a file with pages partitioned across the mesh axis.
 
     Rows per shard are padded to the max shard size (static shapes for the
-    collectives); a ``__valid__`` row mask marks the padding.
+    collectives); a ``__valid__`` row mask marks the padding.  Nullable
+    columns carry their validity sharded alongside the values.
     """
+    from ..exec.scan import DeviceColumn
+
     n_shards = mesh.shape[axis]
     with open(path, "rb") as f:
         schema = infer_schema(f)
@@ -62,56 +126,133 @@ def distributed_scan(
     ranges = shard_page_ranges(n_pages, n_shards)
 
     # per-shard host decode (a real multi-host deployment decodes only the
-    # local shard; simulation decodes all and shards the result)
-    shard_cols: Dict[str, List[np.ndarray]] = {}
-    shard_valid: List[np.ndarray] = []
-    rows_per_shard = []
+    # local shard — see local_shard_table; simulation decodes all shards)
+    shard_vals: Dict[str, List[np.ndarray]] = {}
+    shard_valid: Dict[str, List[Optional[np.ndarray]]] = {}
+    col_dict: Dict[str, Optional[pa.Array]] = {}
+    col_dtype: Dict[str, pa.DataType] = {}
+    rows_per_shard: List[int] = []
     i = 0
-    fields = []
     for field in schema:
         n = n_leaf_columns(field.type)
         meta = metas[i]
         i += n
         if columns is not None and field.name not in columns:
             continue
-        if not is_primitive(field.type) or pa.types.is_boolean(field.type) or (
-            pa.types.is_string(field.type)
-            or pa.types.is_binary(field.type)
-            or pa.types.is_large_string(field.type)
-            or pa.types.is_large_binary(field.type)
-        ):
-            continue  # distributed scan: numeric columns (keys/measures)
-        fields.append(field)
-        shard_cols[field.name] = []
+        if not is_primitive(field.type) or pa.types.is_null(field.type):
+            raise NotYetImplementedError(
+                f"distributed scan of nested column {field.name!r}; "
+                "select columns=... to exclude it"
+            )
+        per_shard_cols = []
         for s, rng_s in enumerate(ranges):
             keep = np.zeros(len(meta.pages), dtype=bool)
             keep[rng_s.start : rng_s.stop] = True
-            col = decode_column_pages_device(file_bytes, meta, field, keep)
-            shard_cols[field.name].append(np.asarray(col.values))
+            col = _decode_shard_column(file_bytes, meta, field, keep)
+            per_shard_cols.append(col)
             if len(rows_per_shard) <= s:
                 rows_per_shard.append(len(col))
+        if _is_stringlike(field.type):
+            empty = pa.array([], pa.binary())
+            gdict, tables = _merge_dictionaries(
+                [
+                    c.dictionary if c.dictionary is not None else empty
+                    for c in per_shard_cols
+                ]
+            )
+            vals = [
+                tables[s][np.asarray(c.values)]
+                for s, c in enumerate(per_shard_cols)
+            ]
+            col_dict[field.name] = gdict
+        else:
+            vals = [np.asarray(c.values) for c in per_shard_cols]
+            col_dict[field.name] = None
+        shard_vals[field.name] = vals
+        shard_valid[field.name] = [
+            None if c.validity is None else np.asarray(c.validity)
+            for c in per_shard_cols
+        ]
+        col_dtype[field.name] = field.type
 
     max_rows = max(rows_per_shard) if rows_per_shard else 0
-    out_cols = {}
-    for name, parts in shard_cols.items():
-        padded = np.zeros((n_shards, max_rows), dtype=parts[0].dtype)
+    sharding = NamedSharding(mesh, P(axis))
+
+    def _put(parts: List[np.ndarray], dtype, fill=0):
+        padded = np.full((n_shards, max_rows), fill, dtype=dtype)
         for s, p in enumerate(parts):
             padded[s, : len(p)] = p
-        arr = jax.device_put(
-            jnp.asarray(padded.reshape(-1)), NamedSharding(mesh, P(axis))
-        )
-        from ..exec.scan import DeviceColumn
+        return jax.device_put(jnp.asarray(padded.reshape(-1)), sharding)
 
-        out_cols[name] = DeviceColumn(name, None, arr, None)
+    out_cols: Dict[str, DeviceColumn] = {}
+    for name, parts in shard_vals.items():
+        arr = _put(parts, parts[0].dtype)
+        validity = None
+        vparts = shard_valid[name]
+        if any(v is not None for v in vparts):
+            vfull = [
+                np.ones(len(p), dtype=bool) if v is None else v
+                for p, v in zip(parts, vparts)
+            ]
+            validity = _put(vfull, np.bool_, fill=False)
+        out_cols[name] = DeviceColumn(
+            name, col_dtype[name], arr, validity, dictionary=col_dict[name]
+        )
     valid = np.zeros((n_shards, max_rows), dtype=bool)
     for s, r in enumerate(rows_per_shard):
         valid[s, :r] = True
-    from ..exec.scan import DeviceColumn
-
     out_cols["__valid__"] = DeviceColumn(
         "__valid__",
         pa.bool_(),
-        jax.device_put(jnp.asarray(valid.reshape(-1)), NamedSharding(mesh, P(axis))),
+        jax.device_put(jnp.asarray(valid.reshape(-1)), sharding),
         None,
     )
     return DeviceTable(out_cols, n_shards * max_rows)
+
+
+def local_shard_table(
+    path: str,
+    process_index: int,
+    process_count: int,
+    columns: Optional[Sequence[str]] = None,
+) -> Tuple[DeviceTable, Dict[str, pa.Array]]:
+    """Per-process byte-range scan: decode ONLY this process's page range.
+
+    The real-pod building block behind :func:`distributed_scan`'s simulation:
+    a process opens the file (or issues object-store range reads), touches
+    only the byte ranges of its own contiguous page shard, and returns the
+    local rows plus its *local* string dictionaries (to be allgathered and
+    merged with :func:`_merge_dictionaries` before any keyed exchange).
+    No whole-file decode happens on any single process.
+    """
+    from ..exec.scan import DeviceColumn
+
+    with open(path, "rb") as f:
+        schema = infer_schema(f)
+        metas = read_meta(f)
+    file_bytes = np.memmap(path, dtype=np.uint8, mode="r")
+    n_pages = max(len(m.pages) for m in metas)
+    rng_s = shard_page_ranges(n_pages, process_count)[process_index]
+    out: Dict[str, DeviceColumn] = {}
+    local_dicts: Dict[str, pa.Array] = {}
+    num_rows = 0
+    i = 0
+    for field in schema:
+        n = n_leaf_columns(field.type)
+        meta = metas[i]
+        i += n
+        if columns is not None and field.name not in columns:
+            continue
+        if not is_primitive(field.type) or pa.types.is_null(field.type):
+            raise NotYetImplementedError(
+                f"distributed scan of nested column {field.name!r}; "
+                "select columns=... to exclude it"
+            )
+        keep = np.zeros(len(meta.pages), dtype=bool)
+        keep[rng_s.start : rng_s.stop] = True
+        col = _decode_shard_column(file_bytes, meta, field, keep)
+        if col.dictionary is not None:
+            local_dicts[field.name] = col.dictionary
+        out[field.name] = col
+        num_rows = len(col)
+    return DeviceTable(out, num_rows), local_dicts

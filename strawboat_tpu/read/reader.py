@@ -137,6 +137,47 @@ def open_readers(path: str, metas: List[ColumnMeta]) -> List[NativeReader]:
     return readers
 
 
+class SubsetNativeReader(NativeReader):
+    """NativeReader over an explicit page subset: seeks to each kept page's
+    absolute file offset before reading — the page-grid analogue of ``nth``'s
+    seek-skip (reader.rs:91-116) for non-contiguous pruned reads."""
+
+    def __init__(
+        self, page_reader: BinaryIO, page_metas: List[PageMeta], page_offsets: List[int]
+    ):
+        super().__init__(page_reader, page_metas)
+        self.page_offsets = page_offsets
+
+    def __next__(self) -> Tuple[int, np.ndarray]:
+        if self.current_page == len(self.page_metas):
+            raise StopIteration
+        self.page_reader.seek(self.page_offsets[self.current_page])
+        return super().__next__()
+
+
+def open_readers_subset(
+    path: str, metas: List[ColumnMeta], keep
+) -> List[NativeReader]:
+    """Per-leaf readers restricted to the kept page-grid indices.
+
+    ``keep`` is a boolean mask over the row-aligned page grid (same grid for
+    every leaf of a nested column); pages outside the mask are never read.
+    """
+    readers = []
+    for meta in metas:
+        offs: List[int] = []
+        pages: List[PageMeta] = []
+        pos = meta.offset
+        for i, pm in enumerate(meta.pages):
+            if i >= len(keep) or keep[i]:
+                offs.append(pos)
+                pages.append(pm)
+            pos += pm.length
+        f = open(path, "rb")
+        readers.append(SubsetNativeReader(f, pages, offs))
+    return readers
+
+
 def reader_from_bytes(data: bytes, meta: ColumnMeta) -> NativeReader:
     f = io.BytesIO(data)
     f.seek(meta.offset)
