@@ -6,10 +6,19 @@ Shared RLE / Dict / OneValue / Freq come from ``_family`` — the same codecs
 the reference reuses for DoubleType (double/{dict,freq,rle,one_value}.rs).
 
 f32 note: the reference's Patas unpack turns ``significant_bytes == 0`` into
-8 whenever ``trailing_zeros < 63`` (patas.rs:160-168), which breaks the
-equal-value marker for f32 (trailing_zeros == 31).  We treat
+8 whenever ``trailing_zeros < 63`` (patas.rs:155-162), which breaks the
+equal-value marker for f32 (trailing_zeros field == 31): ``read_value_custom``
+then copies those 8 bytes into the 4-byte ``T::Bytes`` buffer (out-of-bounds,
+patas.rs:165-181) and ``consume``s 8 bytes the encoder never wrote
+(patas.rs:124-125) — the stream desyncs, so reference f32 streams containing
+equal values cannot round-trip at all.  We instead treat
 ``trailing_zeros == bit_width - 1`` as the equal marker for the actual value
-width, which is bit-identical to the reference for f64 and makes f32 work.
+width: bit-identical to the reference for f64 (fixture:
+test_golden.test_patas_f64_layout), fixture-locked for f32
+(test_patas_f32_layout_fixture_locked), and read-compatible with
+reference-layout f32 streams that contain no equal markers
+(test_patas_f32_reads_reference_layout_stream).  (tz=31, sig=0) is
+unambiguous: a genuine xor with tz=31 has sig_bits=1, sig_bytes=1.
 """
 
 from __future__ import annotations

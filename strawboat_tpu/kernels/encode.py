@@ -155,6 +155,57 @@ def paged_stats_device(
     }
 
 
+@partial(jax.jit, static_argnums=(2,))
+def paged_bool_stats_device(
+    values: jax.Array, validity: Optional[jax.Array], page_size: int
+):
+    """Boolean writer path: pack the column into LSB-first bitmap bytes ON
+    DEVICE (an 8× smaller device→host download than fetching bools) plus the
+    per-page counts the codec chooser needs.
+
+    ``page_size`` must be a multiple of 8 (pages then start on byte
+    boundaries of the packed stream; the device writer falls back to the
+    host encoder otherwise).  Returns (packed_u8, stats_dict) where
+    stats_dict holds (n_pages,) arrays true_count/set_count/run_count/
+    null_count.  run_count is the exact RLE run count (nulls merge into the
+    current run — reference boolean/rle.rs:31-55 semantics).
+    """
+    n = values.shape[0]
+    n_pages = -(-n // page_size)
+    pad = n_pages * page_size - n
+    valid = jnp.ones((n,), jnp.bool_) if validity is None else validity
+    v = jnp.pad(values, (0, pad))
+    m = jnp.pad(valid, (0, pad))
+    vm = v.reshape(n_pages, page_size)
+    mm = m.reshape(n_pages, page_size)
+    true_count = jnp.sum(vm & mm, axis=1)
+    set_count = jnp.sum(mm, axis=1)
+    null_count = (
+        page_size
+        - set_count
+        - (jnp.arange(n_pages) == n_pages - 1) * pad
+    )
+    idx = jnp.arange(page_size)[None, :]
+    last_valid = jnp.maximum.accumulate(jnp.where(mm, idx, -1), axis=1)
+    prev_idx = jnp.concatenate(
+        [jnp.full((n_pages, 1), -1), last_valid[:, :-1]], axis=1
+    )
+    prev_val = jnp.take_along_axis(vm, jnp.clip(prev_idx, 0, page_size - 1), 1)
+    started = prev_idx >= 0
+    changed = mm & ((vm != prev_val) | ~started)
+    run_count = jnp.sum(changed, axis=1)
+    # LSB-first bit pack (np.packbits(bitorder="little") layout)
+    vb = v.astype(jnp.int32).reshape(-1, 8)
+    weights = (jnp.int32(1) << jnp.arange(8, dtype=jnp.int32))[None, :]
+    packed = jnp.sum(vb * weights, axis=1).astype(jnp.uint8)
+    return packed, {
+        "true_count": true_count,
+        "set_count": set_count,
+        "run_count": run_count,
+        "null_count": null_count,
+    }
+
+
 @jax.jit
 def distinct_estimate(values: jax.Array, num_buckets: int = 4096) -> jax.Array:
     """HyperLogLog-lite distinct estimate via hashed bucket occupancy."""

@@ -14,10 +14,18 @@ emits a Dict page body (reference binary/dict.rs:55-141 layout) directly
 from the device codes + the host dictionary.
 
 Notes vs the host writer:
-- FREQ is never chosen (it needs the exact mode; the device stats carry a
-  distinct *estimate* only).  Any codec choice is format-legal — roundtrip
-  equality, not byte-parity with the host writer, is the contract.
-- boolean / decimal / list columns fall back to the host encoder.
+- FREQ: device stats carry a distinct *estimate* only, but when the estimate
+  is tiny (≤16) the already-materialized host bytes yield the exact mode via
+  one ``np.unique`` — re-enabling FREQ for the pages where it can win.  Any
+  codec choice is format-legal — roundtrip equality, not byte-parity with
+  the host writer, is the contract.
+- boolean columns pack to bitmap bytes ON DEVICE (8× smaller download) when
+  the page grid is byte-aligned; raw pages slice the packed stream with no
+  per-row host work.  Non-byte-aligned grids fall back to the host encoder.
+- list columns raise (no device layout for re-encode yet).
+- in-band zone maps are emitted exactly like the host writer
+  (``zone_maps=True``): numerics from the device stats reduction, booleans
+  from device counts, decimals over the unscaled int64 domain.
 """
 
 from __future__ import annotations
@@ -80,9 +88,10 @@ def _encode_numeric_page(
     validity: Optional[np.ndarray],
     stats: FamilyStats,
     options: WriteOptions,
+    allow_freq: bool = False,
 ) -> bytes:
     mod = double_codec if vals.dtype.kind == "f" else integer_codec
-    opts = options.forbid(Compression.FREQ)
+    opts = options if allow_freq else options.forbid(Compression.FREQ)
     codec = mod.choose_compressor(stats, opts)
     if codec.raw_mode:
         body = common.compress(
@@ -121,6 +130,70 @@ def _encode_dict_string_page(
     )
 
 
+def _encode_bool_pages_device(col, field, np_validity, n, page_size, options):
+    """Boolean pages from a device-packed bitmap (page_size % 8 == 0).
+
+    Codec choice per page from device counts: OneValue when one distinct
+    valid value, RLE when the EXACT run-encoded size (run_count × 5B) beats
+    the ratio bar — a stronger criterion than the host's sampled estimate
+    (divergence is format-legal; bytes decode identically) — else the raw
+    bitmap slice through the common codec.
+    """
+    from ..codecs.boolean import one_value_encode, rle_bool_encode
+    from ..codecs import common as common_mod
+    from ..kernels.encode import paged_bool_stats_device
+    from ..util import env as env_mod
+    from ..util.obs import log_codec_choice
+
+    packed_dev, st = paged_bool_stats_device(col.values, col.validity, page_size)
+    packed = np.asarray(packed_dev)
+    st = {k: np.asarray(v) for k, v in st.items()}
+    max_ratio = options.default_compress_ratio
+    force_rle = env_mod.check_rle_env()
+    for i, off in enumerate(range(0, n, page_size)):
+        ln = min(page_size, n - off)
+        pv = None if np_validity is None else np_validity[off : off + ln]
+        out = bytearray()
+        if field.nullable:
+            out += _validity_prelude(
+                None if pv is None or pv.all() else pv, ln
+            )
+        true_c = int(st["true_count"][i])
+        set_c = int(st["set_count"][i])
+        run_c = int(st["run_count"][i])
+        nbytes = (ln + 7) // 8
+        pslice = packed[off // 8 : off // 8 + nbytes]
+        codec = options.default_compression
+        if force_rle:
+            codec = Compression.RLE
+        elif max_ratio is not None:
+            if (true_c == 0 or true_c == set_c) and float(ln) > max_ratio:
+                codec = Compression.ONE_VALUE
+            elif run_c and nbytes / (run_c * 5) > max_ratio:
+                codec = Compression.RLE
+        log_codec_choice("boolean", codec)
+        if codec == Compression.ONE_VALUE:
+            vals = np.unpackbits(pslice, bitorder="little")[:ln].astype(bool)
+            body = one_value_encode(vals, pv)
+        elif codec == Compression.RLE:
+            vals = np.unpackbits(pslice, bitorder="little")[:ln].astype(bool)
+            body = rle_bool_encode(vals, pv)
+        else:
+            body = common_mod.compress(codec, pslice.tobytes())
+        out += write_header(codec, len(body), ln) + body
+        # zone straight from the device counts (no per-row host walk)
+        from ..exec.pruning import PageZone
+
+        nulls = int(st["null_count"][i])
+        if set_c == 0:
+            zone = PageZone(None, None, nulls, ln)
+        else:
+            zone = PageZone(
+                0 if set_c > true_c else 1, 1 if true_c > 0 else 0, nulls, ln
+            )
+        yield bytes(out), ln, zone
+
+
 def write_device_table(path_or_file, table, options: WriteOptions = None):
     """Write a DeviceTable to a strawboat file, choosing codecs from
     device-computed page stats.  Returns the column metas.
@@ -152,23 +225,43 @@ def write_device_table(path_or_file, table, options: WriteOptions = None):
         for (name, col), field in zip(table.columns.items(), schema):
             start = w.offset
             pages = []
-            for body, n_rows in _encode_column_pages(
+            zone_pages = []
+            for body, n_rows, zone in _encode_column_pages(
                 col, field, page_size, options
             ):
                 page_start = w.offset
                 w._write(body)
                 pages.append(PageMeta(w.offset - page_start, n_rows))
+                if zone is not None:
+                    zone_pages.append(zone)
             w.metas.append(ColumnMeta(start, pages))
+            if options.zone_maps and zone_pages and len(zone_pages) == len(pages):
+                from ..exec.pruning import ColumnZones
+
+                w._zones[name] = ColumnZones(name, zone_pages)
         w._state = _STATE_WRITTEN
-        w.finish()
+        w.finish()  # zone trailer rides in-band exactly like the host writer
         return w.metas
     finally:
         if own:
             f.close()
 
 
+def _page_zone(vals: np.ndarray, pv, ln: int):
+    """In-band zone entry for one page (min/max over valid rows)."""
+    from ..exec.pruning import PageZone, compute_zones
+
+    mn, mx, nulls = compute_zones(vals, pv)
+    return PageZone(mn, mx, nulls, ln)
+
+
 def _encode_column_pages(col, field, page_size: int, options: WriteOptions):
-    """Yield (page_bytes, num_rows) for one device column."""
+    """Yield (page_bytes, num_rows, zone|None) for one device column.
+
+    Zones come from the same device-computed page stats that drive codec
+    selection (numerics) or a cheap host reduction (decimal/boolean), so a
+    device-rewritten file keeps its pruning — the point of the reference's
+    stat surface (src/stat.rs:63-152)."""
     is_string = col.dictionary is not None
     np_validity = None if col.validity is None else np.asarray(col.validity)
     n = len(col)
@@ -192,7 +285,7 @@ def _encode_column_pages(col, field, page_size: int, options: WriteOptions):
             out += _encode_dict_string_page(
                 codes[off : off + ln], pv, dcol.offsets, dcol.values, options
             )
-            yield bytes(out), ln
+            yield bytes(out), ln, None
         return
 
     vals_dev = col.values
@@ -222,11 +315,21 @@ def _encode_column_pages(col, field, page_size: int, options: WriteOptions):
                     None if pv is None or pv.all() else pv, ln
                 )
             out += compress_decimal(mat[off : off + ln], pv, options, W)
-            yield bytes(out), ln
+            # zones on the UNSCALED int64 value — the scan's value domain
+            # (predicates on decimals compare unscaled ints)
+            yield bytes(out), ln, _page_zone(v[off : off + ln], pv, ln)
         return
 
     if np_vals.dtype == np.bool_:
-        # host fallback: boolean bitmap family
+        if page_size % 8 == 0:
+            # device path: pack bits + per-page counts in ONE device call;
+            # the host only slices packed bytes (raw pages) or unpacks the
+            # rare RLE/OneValue page — never walks row values
+            yield from _encode_bool_pages_device(
+                col, field, np_validity, n, page_size, options
+            )
+            return
+        # host fallback (non-byte-aligned page grid): boolean bitmap family
         from ..codecs import compress_boolean
 
         for off in range(0, n, page_size):
@@ -238,7 +341,9 @@ def _encode_column_pages(col, field, page_size: int, options: WriteOptions):
                     None if pv is None or pv.all() else pv, ln
                 )
             out += compress_boolean(np_vals[off : off + ln], pv, options)
-            yield bytes(out), ln
+            yield bytes(out), ln, _page_zone(
+                np_vals[off : off + ln].astype(np.int64), pv, ln
+            )
         return
 
     # numeric: ONE batched device stats call for every page of the column
@@ -254,5 +359,35 @@ def _encode_column_pages(col, field, page_size: int, options: WriteOptions):
             )
         page_vals = np_vals[off : off + ln]
         stats = _family_stats_from_device(page_vals, pv, d, i)
-        out += _encode_numeric_page(page_vals, pv, stats, options)
-        yield bytes(out), ln
+        # FREQ exact-mode fallback: the device stats carry a distinct
+        # *estimate* only, but when it is tiny (a top-heavy page is always
+        # low-cardinality) the host bytes are already materialized — one
+        # cheap np.unique gives the exact mode, re-enabling FREQ
+        allow_freq = False
+        if stats.set_count > 0 and stats.unique_count <= 16:
+            pvals = page_vals if pv is None else page_vals[pv]
+            if len(pvals):
+                uq, cnts = np.unique(pvals, return_counts=True)
+                top = int(np.argmax(cnts))
+                stats.top_value = uq[top]
+                stats.max_count = int(cnts[top])
+                stats.unique_count = len(uq)
+                allow_freq = True
+        out += _encode_numeric_page(page_vals, pv, stats, options, allow_freq)
+        # zone straight from the device stats reduction (no extra pass);
+        # f64 device min/max can round (TPU f32-pair storage) and a rounded
+        # bound can mis-prune — use the exact host bytes for f64
+        from ..exec.pruning import PageZone, _py
+
+        if page_vals.dtype == np.dtype(np.float64):
+            zone = _page_zone(page_vals, pv, ln)
+        elif int(d["set_count"][i]) == 0:
+            zone = PageZone(None, None, int(d["null_count"][i]), ln)
+        else:
+            zone = PageZone(
+                _py(page_vals.dtype.type(d["min"][i])),
+                _py(page_vals.dtype.type(d["max"][i])),
+                int(d["null_count"][i]),
+                ln,
+            )
+        yield bytes(out), ln, zone

@@ -107,6 +107,9 @@ class NativeWriter:
                 and hasattr(s_leaf, "values")
                 and getattr(s_leaf.values, "dtype", None) is not None
                 and s_leaf.values.dtype.kind in "iuf"
+                # decimals store a 2-D byte matrix: byte-level min/max would
+                # be garbage bounds that can mis-prune — skip (no zone)
+                and getattr(s_leaf.values, "ndim", 1) == 1
             ):
                 from ..exec.pruning import PageZone, compute_zones
 

@@ -480,3 +480,63 @@ def test_decimal128_none_layout(tmp_path):
     assert page == (0).to_bytes(4, "little") + bytes([0]) + (32).to_bytes(
         4, "little"
     ) + (32).to_bytes(4, "little") + body
+
+
+def test_patas_f32_layout_fixture_locked():
+    """Patas f32: fixture-locked DIVERGENT stream (documented in
+    codecs/double.py).  The reference's own f32 decode is unusable: ``unpack``
+    (patas.rs:158-161) rewrites the f32 equal-marker (tz=31, sig=0) to
+    sig=8, after which ``read_value_custom`` copies 8 bytes into the 4-byte
+    ``T::Bytes`` buffer (UB) and ``consume``s 8 bytes the encoder never
+    wrote — desyncing the stream.  We mark equality as tz == 31 for f32
+    (== 63 for f64, where we are bit-identical, test_patas_f64_layout).
+    (tz=31, sig=0) is unambiguous: a genuine xor with tz=31 has sig_bits=1.
+    """
+    from strawboat_tpu.codecs.double import patas_encode, patas_decode
+
+    vals = np.array([1.0, 1.5, 1.0], dtype=np.float32)
+    body = patas_encode(vals)
+    # value 2 (1.5): xor=0x00400000, tz=22, lz=9, sig_bits=1, sig_bytes=1 →
+    #   pack(1,1,22) = (1<<9)|(1<<6)|22 = 598; payload = 0x01
+    # value 3 (1.0): xor with ref_diff=2 is 0 → is_equal → pack(2,0,31)
+    expect = (
+        np.float32(1.0).tobytes()
+        + (598).to_bytes(2, "little") + bytes([1])
+        + ((2 << 9) | 31).to_bytes(2, "little")
+    )
+    assert body == expect
+    out, _ = patas_decode(np.frombuffer(body, np.uint8), 0, 3, np.dtype(np.float32))
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_patas_f32_reads_reference_layout_stream():
+    """Read-side compatibility: a hand-built f32 stream in the REFERENCE's
+    byte layout with no equal markers (where the two layouts agree exactly)
+    decodes to the right values."""
+    from strawboat_tpu.codecs.double import patas_decode
+
+    # values: 1.0, then 2.0 (xor=0x40000000^0x3f800000=0x7f800000, tz=23,
+    # lz=1, sig_bits=8, sig_bytes=1, payload=0xff), then 8.0
+    # (xor vs 2.0 = 0x41000000^0x40000000=0x01000000, tz=24, sig_bytes=1)
+    stream = (
+        np.float32(1.0).tobytes()
+        + ((1 << 9) | (1 << 6) | 23).to_bytes(2, "little") + bytes([0xFF])
+        + ((1 << 9) | (1 << 6) | 24).to_bytes(2, "little") + bytes([0x01])
+    )
+    out, _ = patas_decode(np.frombuffer(stream, np.uint8), 0, 3, np.dtype(np.float32))
+    np.testing.assert_array_equal(out, np.array([1.0, 2.0, 8.0], np.float32))
+
+
+def test_patas_f32_roundtrip_random():
+    from strawboat_tpu.codecs.double import patas_encode, patas_decode
+
+    rng = np.random.default_rng(9)
+    # repeats + smooth values: exercises ring references AND equal markers,
+    # through both the python and native paths (>256 values)
+    base = rng.normal(0, 1, 400).astype(np.float32)
+    vals = np.concatenate([base, base[:200], np.full(100, np.float32(3.25))])
+    body = patas_encode(vals)
+    out, _ = patas_decode(
+        np.frombuffer(body, np.uint8), 0, len(vals), np.dtype(np.float32)
+    )
+    np.testing.assert_array_equal(out, vals)
