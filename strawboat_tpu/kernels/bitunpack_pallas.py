@@ -193,6 +193,59 @@ def bitunpack_pallas_tiled(wt3: jax.Array, num_bits: int) -> jax.Array:
         )(wt3)
 
 
+def _plane_kernel_seeded(b: int, seed_ref, wt_ref, out_ref):
+    """Plane kernel with the freshness xor fused in (seed rides in SMEM).
+
+    Benchmark building block: xoring a loop-carried scalar inside the kernel
+    keeps XLA from hoisting the call out of a timing loop *without* a separate
+    xor pass over the input — per iteration only (input + output) bytes move.
+    """
+    w = wt_ref[0] ^ seed_ref[0]
+    mask = jnp.uint32((1 << b) - 1) if b < 32 else jnp.uint32(0xFFFFFFFF)
+    for p in range(32 // b):
+        out_ref[0, p * b : (p + 1) * b, :] = (w >> jnp.uint32(p * b)) & mask
+
+
+def _rowloop_kernel_seeded(b: int, seed_ref, wt_ref, out_ref):
+    w = wt_ref[0] ^ seed_ref[0]
+    mask = jnp.uint32((1 << b) - 1) if b < 32 else jnp.uint32(0xFFFFFFFF)
+    for t in range(32):
+        s = t * b
+        w0, sh = s // 32, s % 32
+        v = w[w0, :] >> np.uint32(sh)
+        if sh + b > 32:
+            v = v | (w[w0 + 1, :] << np.uint32(32 - sh))
+        out_ref[0, t, :] = v & mask
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def bitunpack_pallas_tiled_seeded(
+    wt3: jax.Array, seed: jax.Array, num_bits: int
+) -> jax.Array:
+    """``bitunpack_pallas_tiled`` of ``wt3 ^ seed`` without materializing the
+    xored copy (seed: uint32 scalar, broadcast from SMEM)."""
+    b = num_bits
+    n_tiles, rows, tile = wt3.shape
+    kern = _plane_kernel_seeded if 32 % b == 0 else _rowloop_kernel_seeded
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            functools.partial(kern, b),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1,), lambda i: (0,), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec(
+                    (1, rows, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 32, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, 32, tile), jnp.uint32),
+        )(seed.astype(jnp.uint32).reshape(1), wt3)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def bitunpack_tiled_to_flat(out3: jax.Array, num_bits: int) -> jax.Array:
     """Tiled kernel output → flat natural value order (padded length).

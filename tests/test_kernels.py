@@ -166,4 +166,18 @@ def test_bitunpack_pallas_tiled_interpret():
             flat = np.asarray(m.bitunpack_tiled_to_flat(out3, b))
             got = flat[: n_blocks * 128].reshape(n_blocks, 128)
             np.testing.assert_array_equal(got, vals, err_msg=str(b))
+
+            # seeded variant: unpack(wt ^ seed) without the xored copy
+            seeded = m.bitunpack_pallas_tiled_seeded(
+                jnp.asarray(wt3), jnp.uint32(0), b
+            )
+            np.testing.assert_array_equal(
+                np.asarray(seeded), np.asarray(out3), err_msg=f"seed0 b={b}"
+            )
+            s = np.uint32(0xA5A5_00FF)
+            seeded = m.bitunpack_pallas_tiled_seeded(jnp.asarray(wt3), jnp.uint32(s), b)
+            ref = m.bitunpack_pallas_tiled(jnp.asarray(wt3 ^ s), b)
+            np.testing.assert_array_equal(
+                np.asarray(seeded), np.asarray(ref), err_msg=f"seeded b={b}"
+            )
     importlib.reload(m)
