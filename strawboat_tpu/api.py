@@ -30,13 +30,20 @@ def _field_readers(path: str, schema: pa.Schema, metas: List[ColumnMeta]):
         yield field, open_readers(path, field_metas)
 
 
-def read_table(path: str, columns: Optional[List[str]] = None) -> pa.Table:
+def read_table(
+    path: str, columns: Optional[List[str]] = None, arena=None
+) -> pa.Table:
     """Whole-file batch read → pyarrow Table (strawboat_batch_read.rs).
 
     Simple fixed-width columns with all-common-codec pages take the planned
     fast path (one native threaded batch-decompress into the final buffer,
     zero-copy arrow wrap); everything else streams through the general
     per-page reader.
+
+    ``arena`` (a :class:`strawboat_tpu.read.fast.ReadArena`) recycles the
+    decoded values buffers across calls — the batch-read analogue of the
+    reference's ``PageIterator::swap_buffer`` page-buffer recycling.  Arrays
+    from the PREVIOUS read with the same arena are invalidated.
     """
     import numpy as np
 
@@ -47,13 +54,15 @@ def read_table(path: str, columns: Optional[List[str]] = None) -> pa.Table:
         metas = read_meta(f)
     file_bytes = np.memmap(path, dtype=np.uint8, mode="r")
     per_field = split_metas_by_field(schema, metas)
+    if arena is not None:
+        arena.recycle()
     arrays = []
     fields = []
     for field, field_metas in zip(schema, per_field):
         if columns is not None and field.name not in columns:
             continue
         arr = (
-            read_column_fast(file_bytes, field_metas[0], field)
+            read_column_fast(file_bytes, field_metas[0], field, arena=arena)
             if len(field_metas) == 1
             else None
         )

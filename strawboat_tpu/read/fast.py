@@ -14,7 +14,7 @@ the general streaming reader.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -23,6 +23,45 @@ from .. import native
 from ..codecs import read_header
 from ..meta import ColumnMeta
 from .levels import read_validity
+
+
+class ReadArena:
+    """Recycled output buffers for repeated host reads.
+
+    The decoded column's memory is the read path's dominant cost once decode
+    runs on native threads: a fresh allocation pays kernel page-zeroing +
+    first-touch faults for every byte (a full extra memory pass).  An arena
+    hands back the *same* buffers on the next read — the host-read analogue
+    of the reference's page-buffer recycling (``PageIterator::swap_buffer``,
+    /root/reference/src/read/mod.rs:26-57, recycled per page at
+    src/read/array/integer.rs:84).
+
+    Contract (same as ``swap_buffer``): arrays returned by a read that used
+    this arena alias arena memory and are INVALIDATED by the next read that
+    passes the same arena.  Callers that need the data past that point copy
+    it out (or simply don't pass an arena).
+    """
+
+    def __init__(self) -> None:
+        self._free: Dict[int, List[np.ndarray]] = {}
+        self._lent: List[np.ndarray] = []
+
+    def get(self, nbytes: int) -> np.ndarray:
+        """A uint8 buffer of exactly ``nbytes`` (recycled when possible)."""
+        bucket = self._free.get(nbytes)
+        buf = bucket.pop() if bucket else np.empty(nbytes, dtype=np.uint8)
+        self._lent.append(buf)
+        return buf
+
+    def recycle(self) -> None:
+        """Reclaim every buffer handed out since the last recycle.
+
+        Called at the START of a read: anything the previous read returned
+        is now fair game (the documented invalidation point).
+        """
+        for buf in self._lent:
+            self._free.setdefault(buf.nbytes, []).append(buf)
+        self._lent.clear()
 
 
 def _arrow_fixed_np_dtype(t: pa.DataType) -> Optional[np.dtype]:
@@ -39,9 +78,16 @@ def _arrow_fixed_np_dtype(t: pa.DataType) -> Optional[np.dtype]:
 
 
 def read_column_fast(
-    file_bytes: np.ndarray, meta: ColumnMeta, field: pa.Field
+    file_bytes: np.ndarray,
+    meta: ColumnMeta,
+    field: pa.Field,
+    arena: Optional[ReadArena] = None,
 ) -> Optional[pa.Array]:
-    """All-raw-codec fixed-width column → pa.Array, or None if ineligible."""
+    """All-raw-codec fixed-width column → pa.Array, or None if ineligible.
+
+    With ``arena``, the values buffer is drawn from (and eventually recycled
+    through) the arena — see :class:`ReadArena` for the aliasing contract.
+    """
     np_dtype = _arrow_fixed_np_dtype(field.type)
     if np_dtype is None or not native.available():
         return None
@@ -67,7 +113,8 @@ def read_column_fast(
     out_lens = np.asarray([j[2] for j in jobs], dtype=np.int64)
     offsets = np.zeros(len(jobs) + 1, dtype=np.int64)
     np.cumsum(out_lens, out=offsets[1:])
-    out = np.empty(int(offsets[-1]), dtype=np.uint8)
+    total = int(offsets[-1])
+    out = arena.get(total) if arena is not None else np.empty(total, dtype=np.uint8)
     i, n = 0, len(jobs)
     while i < n:
         j = i + 1

@@ -254,3 +254,57 @@ def test_zero_row_table(tmp_strawboat):
         }
     )
     roundtrip(table, tmp_strawboat, Compression.LZ4)
+
+
+def test_read_arena_recycles_buffers(tmp_strawboat):
+    """ReadArena: correct results, buffer reuse, and mixed-file safety.
+
+    Reference parity: PageIterator::swap_buffer buffer recycling
+    (/root/reference/src/read/mod.rs:26-57) lifted to the batch read.
+    """
+    from strawboat_tpu.read.fast import ReadArena
+
+    table = pa.table(
+        {
+            "a": pa.array(create_random_i64(PAGE_SIZE * 3 + 17, 0.0)),
+            "f": pa.array(
+                np.random.default_rng(7).normal(size=PAGE_SIZE * 3 + 17), type=pa.float64()
+            ),
+            # string column is fast-path-ineligible: must still read right
+            "s": pa.array(create_random_string(PAGE_SIZE * 3 + 17, 0.0, 8)),
+        }
+    )
+    opts = WriteOptions(
+        default_compression=Compression.LZ4,
+        default_compress_ratio=None,
+        max_page_size=PAGE_SIZE,
+    )
+    write_file(tmp_strawboat, table, options=opts)
+
+    arena = ReadArena()
+    fresh = read_table(tmp_strawboat)
+    got1 = read_table(tmp_strawboat, arena=arena)
+    assert got1.equals(fresh)
+    addrs1 = {
+        got1.column(c).chunk(0).buffers()[1].address for c in ("a", "f")
+    }
+    got2 = read_table(tmp_strawboat, arena=arena)
+    assert got2.equals(fresh)
+    # second read recycled the first read's values buffers (aliasing
+    # contract; same-size buffers may swap owners within the arena)
+    addrs2 = {
+        got2.column(c).chunk(0).buffers()[1].address for c in ("a", "f")
+    }
+    assert addrs2 == addrs1
+
+    # a different-sized file through the same arena allocates fresh, still right
+    small = pa.table({"a": pa.array(create_random_i64(PAGE_SIZE, 0.0))})
+    import os
+
+    p2 = tmp_strawboat + ".2"
+    write_file(p2, small, options=opts)
+    try:
+        got3 = read_table(p2, arena=arena)
+        assert got3.column("a").to_pylist() == small.column("a").to_pylist()
+    finally:
+        os.remove(p2)
