@@ -7,6 +7,11 @@ values on device; filters and aggregates fuse behind the same jit boundary.
 """
 
 from .scan import DeviceColumn, DeviceTable, scan_file  # noqa: F401
+from .dataset import (  # noqa: F401
+    concat_device_tables,
+    iter_dataset_chunks,
+    scan_dataset,
+)
 from .query import Query  # noqa: F401
 from .expr import col, lit  # noqa: F401
 from .aggregate import hash_aggregate, dense_group_sum  # noqa: F401

@@ -1,0 +1,192 @@
+"""Multi-file dataset scan: many ``.str`` files as ONE logical device table.
+
+No reference counterpart — the reference is a single-file format library
+(`/root/reference/src/read/reader.rs`), and its production consumer
+(Databend) layers exactly this on top: a table is many immutable files on
+object storage, scanned together.  This module is that layer, TPU-shaped:
+
+* **File-level pruning** touches only a file's footer + in-band zone block
+  (`pruning.read_zones` reads the tail, never the data pages) — a file whose
+  zones prove no page can match is skipped entirely, the object-store
+  analogue of the reference's page-skip `Iterator::nth` (reader.rs:91-116)
+  one level up.
+* Surviving files scan with the usual page-level pruning (`scan_file`), and
+  columns **concatenate on device** — one `jnp.concatenate` per column, not
+  per page.
+* Dictionary-coded string columns merge through the same KB-scale pool
+  dedup the distributed layer uses (`parallel.dist_scan._merge_dictionaries`):
+  per-file dictionaries union host-side, per-file codes remap with one
+  device gather; row bytes never re-encode.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+
+from ..errors import NotYetImplementedError, OutOfSpecError
+from .scan import DeviceColumn, DeviceListColumn, DeviceTable, scan_file
+
+
+def resolve_paths(paths: Union[str, Sequence[str]]) -> List[str]:
+    """A glob pattern or an explicit list → sorted concrete paths."""
+    if isinstance(paths, str):
+        out = sorted(_glob.glob(paths))
+        if not out:
+            raise OutOfSpecError(f"dataset glob matched no files: {paths!r}")
+        return out
+    out = list(paths)
+    if not out:
+        raise OutOfSpecError("dataset file list is empty")
+    return out
+
+
+def file_may_match(path: str, predicates: Optional[Sequence]) -> bool:
+    """Footer-only check: can ANY page of ``path`` satisfy ``predicates``?
+
+    Reads the zone block from the file tail (no data pages).  Files without
+    zones conservatively match.
+    """
+    if not predicates:
+        return True
+    from .pruning import prune_pages, read_zones
+
+    zones = read_zones(path)
+    if not zones:
+        return True
+    n_pages = max(len(z.pages) for z in zones.values())
+    keep = prune_pages(zones, predicates, n_pages)
+    return bool(keep.any())
+
+
+def _concat_validity(parts: List[DeviceColumn]):
+    """Concatenated validity, or None when every part is all-valid."""
+    import jax.numpy as jnp
+
+    if all(p.validity is None for p in parts):
+        return None
+    vs = [
+        p.validity
+        if p.validity is not None
+        else jnp.ones(len(p), dtype=jnp.bool_)
+        for p in parts
+    ]
+    return jnp.concatenate(vs)
+
+
+def concat_device_columns(name: str, parts: List[DeviceColumn]) -> DeviceColumn:
+    """Concatenate one column's per-file pieces on device.
+
+    Dict-coded parts merge dictionaries host-side (pool dedup) and remap
+    codes with one device gather per part.  List columns are not yet
+    concatenable across files — they raise, never silently drop.
+    """
+    import jax.numpy as jnp
+
+    if len(parts) == 1:
+        return parts[0]
+    if any(isinstance(p, DeviceListColumn) for p in parts):
+        raise NotYetImplementedError(
+            f"dataset concat of list column {name!r} (scan files separately)"
+        )
+    dtypes = {str(p.dtype) for p in parts}
+    if len(dtypes) > 1:
+        raise OutOfSpecError(f"column {name!r} type differs across files: {dtypes}")
+    validity = _concat_validity(parts)
+    if any(p.dictionary is not None for p in parts):
+        from ..parallel.dist_scan import _merge_dictionaries
+
+        empty = pa.array([], type=pa.binary())
+        gdict, tables = _merge_dictionaries(
+            [p.dictionary if p.dictionary is not None else empty for p in parts]
+        )
+        vals = jnp.concatenate(
+            [
+                jnp.asarray(t, dtype=jnp.int32)[p.values.astype(jnp.int32)]
+                for p, t in zip(parts, tables)
+            ]
+        )
+        return DeviceColumn(name, parts[0].dtype, vals, validity, dictionary=gdict)
+    values = jnp.concatenate([p.values for p in parts])
+    host_exact = None
+    if all(p.host_exact is not None for p in parts):
+        host_exact = np.concatenate([p.host_exact for p in parts])
+    return DeviceColumn(
+        name, parts[0].dtype, values, validity, host_exact=host_exact
+    )
+
+
+def concat_device_tables(tables: List[DeviceTable]) -> DeviceTable:
+    """Row-wise concatenation of per-file device tables (schemas must agree)."""
+    if not tables:
+        return DeviceTable({}, 0)
+    names = list(tables[0].columns)
+    for t in tables[1:]:
+        if list(t.columns) != names:
+            raise OutOfSpecError(
+                f"dataset files disagree on columns: {names} vs {list(t.columns)}"
+            )
+    out: Dict[str, DeviceColumn] = {}
+    for name in names:
+        out[name] = concat_device_columns(name, [t.columns[name] for t in tables])
+    return DeviceTable(out, sum(t.num_rows for t in tables))
+
+
+def scan_dataset(
+    paths: Union[str, Sequence[str]],
+    columns: Optional[Sequence[str]] = None,
+    predicates: Optional[Sequence] = None,
+) -> DeviceTable:
+    """Scan a multi-file dataset into one device table.
+
+    ``paths``: a glob pattern (``"part-*.str"``) or explicit list.  Files
+    whose zone blocks prove no match are skipped footer-only; the rest scan
+    with page-level pruning and concatenate on device.
+    """
+    concrete = resolve_paths(paths)
+    survivors = [p for p in concrete if file_may_match(p, predicates)]
+    parts = [
+        scan_file(p, columns=columns, predicates=predicates) for p in survivors
+    ]
+    parts = [t for t in parts if t.num_rows > 0]
+    if not parts:
+        # keep the schema by scanning the first file unpruned but empty-masked
+        empty = scan_file(concrete[0], columns=columns)
+        import jax.numpy as jnp
+
+        cols = {
+            n: DeviceColumn(
+                n, c.dtype, c.values[:0],
+                None if c.validity is None else c.validity[:0],
+                dictionary=c.dictionary,
+            )
+            for n, c in empty.columns.items()
+            if not isinstance(c, DeviceListColumn)
+        }
+        return DeviceTable(cols, 0)
+    return concat_device_tables(parts)
+
+
+def iter_dataset_chunks(
+    paths: Union[str, Sequence[str]],
+    chunk_pages: int,
+    columns: Optional[Sequence[str]] = None,
+    predicates: Optional[Sequence] = None,
+):
+    """Stream a dataset as DeviceTable chunks (files in order, then pages).
+
+    The multi-file extension of :func:`scan_chunks` for datasets larger than
+    HBM; file-level pruning applies before any chunking.
+    """
+    from .scan import scan_chunks
+
+    for p in resolve_paths(paths):
+        if not file_may_match(p, predicates):
+            continue
+        yield from scan_chunks(
+            p, chunk_pages, columns=columns, predicates=predicates
+        )

@@ -110,6 +110,13 @@ class NativeWriter:
                 # decimals store a 2-D byte matrix: byte-level min/max would
                 # be garbage bounds that can mis-prune — skip (no zone)
                 and getattr(s_leaf.values, "ndim", 1) == 1
+                # binary/utf8 leaves carry a u8 BYTE buffer (+ offsets):
+                # byte-level min/max is not a row bound — skip (no zone);
+                # string pruning goes through dictionary lexical ranges
+                and getattr(s_leaf, "offsets", None) is None
+                # values must be row-aligned with the page (nulls can
+                # compact other layouts)
+                and len(s_leaf.values) == ln
             ):
                 from ..exec.pruning import PageZone, compute_zones
 

@@ -1,0 +1,143 @@
+"""Multi-file dataset scan: footer-only file pruning + device concat.
+
+The reference is single-file (src/read/reader.rs); this layer is the
+production multi-file consumption pattern on top, so tests check the two
+things the single-file suite cannot: whole-file zone skips and cross-file
+column concatenation (incl. dictionary merge).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from strawboat_tpu.api import write_file
+from strawboat_tpu.codecs import WriteOptions
+from strawboat_tpu.constants import Compression
+from strawboat_tpu.exec import scan_dataset
+from strawboat_tpu.exec.dataset import (
+    file_may_match,
+    iter_dataset_chunks,
+    resolve_paths,
+)
+from strawboat_tpu.exec.pruning import Comparison
+
+OPTS = WriteOptions(
+    default_compression=Compression.LZ4,
+    default_compress_ratio=None,
+    max_page_size=256,
+    zone_maps=True,
+)
+
+
+def _write_parts(tmp_path, n_files=3, rows=700, with_strings=True):
+    paths = []
+    tables = []
+    for i in range(n_files):
+        rng = np.random.default_rng(i)
+        base = i * 10_000
+        a = np.sort(rng.integers(base, base + 5000, rows)).astype(np.int64)
+        cols = {"a": pa.array(a)}
+        if with_strings:
+            # per-file distinct vocab overlap: forces a real dictionary merge
+            vocab = [f"s{i}", f"s{i+1}", "common"]
+            cols["s"] = pa.array([vocab[j % 3] for j in range(rows)])
+        t = pa.table(cols)
+        p = str(tmp_path / f"part-{i}.str")
+        write_file(p, t, options=OPTS)
+        paths.append(p)
+        tables.append(t)
+    return paths, tables
+
+
+def test_scan_dataset_concat_matches_arrow(tmp_path):
+    paths, tables = _write_parts(tmp_path)
+    dt = scan_dataset(paths)
+    got = dt.to_arrow()
+    exp = pa.concat_tables(tables)
+    assert got.column("a").to_pylist() == exp.column("a").to_pylist()
+    assert got.column("s").to_pylist() == exp.column("s").to_pylist()
+    assert dt.num_rows == exp.num_rows
+
+
+def test_scan_dataset_glob(tmp_path):
+    paths, tables = _write_parts(tmp_path, with_strings=False)
+    dt = scan_dataset(str(tmp_path / "part-*.str"))
+    assert dt.num_rows == sum(t.num_rows for t in tables)
+    assert resolve_paths(str(tmp_path / "part-*.str")) == paths
+
+
+def test_file_level_pruning_skips_whole_files(tmp_path):
+    paths, tables = _write_parts(tmp_path, with_strings=False)
+    # predicate only file 1 (values 10000..15000) can satisfy
+    preds = [Comparison("a", "ge", 10_000), Comparison("a", "lt", 15_000)]
+    assert not file_may_match(paths[0], preds)
+    assert file_may_match(paths[1], preds)
+    assert not file_may_match(paths[2], preds)
+    dt = scan_dataset(paths, predicates=preds)
+    vals = np.asarray(dt["a"].values)
+    exp = tables[1].column("a").to_numpy()
+    np.testing.assert_array_equal(vals, exp)
+
+
+def test_dataset_prunes_to_empty_keeps_schema(tmp_path):
+    paths, _ = _write_parts(tmp_path, with_strings=False)
+    preds = [Comparison("a", "ge", 10**9)]
+    dt = scan_dataset(paths, predicates=preds)
+    assert dt.num_rows == 0
+    assert "a" in dt.columns and len(dt["a"]) == 0
+
+
+def test_dataset_nullable_and_dict_merge(tmp_path):
+    # explicit nulls in one file only; dictionary union must stay exact
+    t1 = pa.table(
+        {
+            "a": pa.array([1, None, 3], type=pa.int64()),
+            "s": pa.array(["x", "y", "x"]),
+        }
+    )
+    t2 = pa.table(
+        {
+            "a": pa.array([4, 5, 6], type=pa.int64()),
+            "s": pa.array(["y", "z", None]),
+        }
+    )
+    p1, p2 = str(tmp_path / "n1.str"), str(tmp_path / "n2.str")
+    write_file(p1, t1, options=OPTS)
+    write_file(p2, t2, options=OPTS)
+    got = scan_dataset([p1, p2]).to_arrow()
+    exp = pa.concat_tables([t1, t2])
+    assert got.column("a").to_pylist() == exp.column("a").to_pylist()
+    assert got.column("s").to_pylist() == exp.column("s").to_pylist()
+
+
+def test_dataset_schema_mismatch_raises(tmp_path):
+    from strawboat_tpu.errors import OutOfSpecError
+
+    t1 = pa.table({"a": pa.array([1, 2], type=pa.int64())})
+    t2 = pa.table({"b": pa.array([3, 4], type=pa.int64())})
+    p1, p2 = str(tmp_path / "m1.str"), str(tmp_path / "m2.str")
+    write_file(p1, t1, options=OPTS)
+    write_file(p2, t2, options=OPTS)
+    with pytest.raises(OutOfSpecError):
+        scan_dataset([p1, p2])
+
+
+def test_iter_dataset_chunks_covers_all_rows(tmp_path):
+    paths, tables = _write_parts(tmp_path, with_strings=False)
+    total = 0
+    acc = 0
+    for chunk in iter_dataset_chunks(paths, chunk_pages=2):
+        total += chunk.num_rows
+        acc += int(np.asarray(chunk["a"].values).sum())
+    exp = pa.concat_tables(tables)
+    assert total == exp.num_rows
+    assert acc == int(exp.column("a").to_numpy().sum())
+
+
+def test_empty_dataset_raises(tmp_path):
+    from strawboat_tpu.errors import OutOfSpecError
+
+    with pytest.raises(OutOfSpecError):
+        scan_dataset(str(tmp_path / "nope-*.str"))
+    with pytest.raises(OutOfSpecError):
+        scan_dataset([])

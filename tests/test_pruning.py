@@ -121,3 +121,40 @@ def test_zone_serializer_preserves_width():
     assert got["i"].pages[1].min is None
     assert got["u"].pages[0].max == ubig
     assert got["f"].pages[0].min == -0.5 and got["f"].pages[0].max == 2.25
+
+
+def test_string_columns_emit_no_byte_zones(tmp_path):
+    """Binary/utf8 leaves must not publish byte-buffer min/max as row zones.
+
+    The leaf's values buffer is raw u8 BYTES (offsets-addressed), so a
+    numeric zone computed over it is garbage — and with nulls the compacted
+    buffer is shorter than the validity, which used to crash the writer.
+    """
+    import pyarrow as pa
+
+    from strawboat_tpu.api import write_file
+    from strawboat_tpu.codecs import WriteOptions
+    from strawboat_tpu.constants import Compression
+    from strawboat_tpu.exec.pruning import read_zones
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 2, 3], type=pa.int64()),
+            "s": pa.array(["x", None, "z"]),
+            "s2": pa.array(["p", "q", "r"]),  # no nulls: used to get byte zones
+        }
+    )
+    path = str(tmp_path / "z.str")
+    write_file(
+        path,
+        t,
+        options=WriteOptions(
+            default_compression=Compression.LZ4,
+            default_compress_ratio=None,
+            max_page_size=2,
+            zone_maps=True,
+        ),
+    )
+    zones = read_zones(path)
+    assert zones is not None and "a" in zones
+    assert "s" not in zones and "s2" not in zones
