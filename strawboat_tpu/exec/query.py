@@ -89,6 +89,12 @@ class Query:
     def scan(self) -> DeviceTable:
         predicates = list(self._filter.atoms) if self._filter is not None else None
         cols = self._referenced_columns()
+        if not isinstance(self.path, str) or any(c in self.path for c in "*?["):
+            # list of files or a glob → multi-file dataset scan (file-level
+            # zone pruning + device concat)
+            from .dataset import scan_dataset
+
+            return scan_dataset(self.path, columns=cols, predicates=predicates)
         return scan_file(self.path, columns=cols, predicates=predicates)
 
     def run(self):
@@ -114,6 +120,13 @@ class Query:
                 num_groups=self._num_groups,
                 mask=mask,
             )
+            # key codes are only meaningful against the dictionary of THIS
+            # scan (pruning can change the merged dictionary across runs):
+            # ship it with the result so callers can decode group keys
+            for k in keys:
+                d = getattr(table[k], "dictionary", None)
+                if d is not None:
+                    res[f"dict_{k}"] = d
             if self._order or self._limit is not None:
                 res = _order_grouped(res, self._order, self._limit, table)
             return res

@@ -141,3 +141,37 @@ def test_empty_dataset_raises(tmp_path):
         scan_dataset(str(tmp_path / "nope-*.str"))
     with pytest.raises(OutOfSpecError):
         scan_dataset([])
+
+
+def test_query_over_dataset_glob(tmp_path):
+    """Query() accepts a glob / list: full filter+group_by over many files."""
+    from strawboat_tpu.exec import Query, col
+
+    paths, tables = _write_parts(tmp_path, with_strings=True)
+    res = (
+        Query(str(tmp_path / "part-*.str"))
+        .filter(col("a") >= 10_000)
+        .group_by("s", num_groups=64)
+        .agg(total=("sum", "a"), cnt=("count", "a"))
+        .run()
+    )
+    exp = pa.concat_tables(tables)
+    a = exp.column("a").to_numpy()
+    s = np.asarray(exp.column("s").to_pylist())
+    m = a >= 10_000
+    import collections
+
+    expected = collections.defaultdict(int)
+    for sv, av in zip(s[m], a[m]):
+        expected[sv] += int(av)
+    n = int(res["n_groups"])
+    got = {}
+    codes = np.asarray(res["key_s"])[:n]
+    # decode group keys through the dictionary shipped with the result
+    # (pruning changes the merged dictionary run to run)
+    d = res["dict_s"]
+    for i in range(n):
+        k = d[int(codes[i])].as_py()
+        k = k.decode() if isinstance(k, bytes) else k
+        got[k] = int(np.asarray(res["total"])[i])
+    assert got == dict(expected)
