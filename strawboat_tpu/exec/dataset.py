@@ -171,6 +171,40 @@ def scan_dataset(
     return concat_device_tables(parts)
 
 
+def write_dataset(
+    directory: str,
+    data: pa.Table,
+    rows_per_file: int,
+    options=None,
+    prefix: str = "part",
+) -> List[str]:
+    """Split ``data`` into ``rows_per_file``-row part files under ``directory``.
+
+    The write side of the dataset layer: each part is an ordinary standalone
+    ``.str`` file (own footer + in-band zone block), so any subset of parts
+    is a valid dataset and immutable parts can be rewritten independently —
+    the object-store layout the scan side's footer-only pruning is built
+    for.  Returns the written paths (``part-00000.str`` …).
+    """
+    import os
+
+    from ..write.writer import write_file
+
+    if rows_per_file <= 0:
+        raise OutOfSpecError("rows_per_file must be positive")
+    os.makedirs(directory, exist_ok=True)
+    paths = []
+    n = data.num_rows
+    for i, off in enumerate(range(0, max(n, 1), rows_per_file)):
+        part = data.slice(off, min(rows_per_file, n - off)) if n else data
+        p = os.path.join(directory, f"{prefix}-{i:05d}.str")
+        write_file(p, part.combine_chunks(), options=options)
+        paths.append(p)
+        if n == 0:
+            break
+    return paths
+
+
 def iter_dataset_chunks(
     paths: Union[str, Sequence[str]],
     chunk_pages: int,

@@ -175,3 +175,31 @@ def test_query_over_dataset_glob(tmp_path):
         k = k.decode() if isinstance(k, bytes) else k
         got[k] = int(np.asarray(res["total"])[i])
     assert got == dict(expected)
+
+
+def test_write_dataset_roundtrip(tmp_path):
+    """write_dataset -> scan_dataset closes the multi-file loop; each part
+    is standalone (own footer + zones) so file-level pruning works."""
+    from strawboat_tpu.exec.dataset import write_dataset
+
+    n = 1000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "s": pa.array([f"v{i % 7}" for i in range(n)]),
+        }
+    )
+    d = str(tmp_path / "ds")
+    paths = write_dataset(d, t, rows_per_file=256, options=OPTS)
+    assert len(paths) == 4
+    got = scan_dataset(paths).to_arrow()
+    assert got.column("k").to_pylist() == t.column("k").to_pylist()
+    assert got.column("s").to_pylist() == t.column("s").to_pylist()
+    # a predicate touching one part prunes the other three footer-only
+    preds = [Comparison("k", "ge", 512), Comparison("k", "lt", 768)]
+    assert [file_may_match(p, preds) for p in paths] == [
+        False, False, True, False,
+    ]
+    dt = scan_dataset(paths, predicates=preds)
+    v = np.asarray(dt["k"].values)
+    assert v.min() == 512 and v.max() == 767
