@@ -12,3 +12,8 @@ from .shuffle import hash_partition_ids, shuffle_by_key  # noqa: F401
 from .dist_agg import distributed_aggregate  # noqa: F401
 from .pipeline import pipelined_distributed_aggregate  # noqa: F401
 from .dist_join import distributed_join  # noqa: F401
+from .dist_scan import (  # noqa: F401
+    distributed_scan,
+    distributed_scan_dataset,
+    local_shard_table,
+)

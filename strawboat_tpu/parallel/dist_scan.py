@@ -256,3 +256,192 @@ def local_shard_table(
         out[field.name] = col
         num_rows = len(col)
     return DeviceTable(out, num_rows), local_dicts
+
+
+def _dataset_units(paths: Sequence[str], n_shards: int):
+    """Split a dataset into >= n_shards (path, page-range) work units.
+
+    Whole files when there are enough; otherwise each file splits into
+    contiguous page ranges (the same granularity single-file
+    ``distributed_scan`` shards at).  Returns (units, metas_by_path,
+    schema) where units = [(path, range)] with per-unit row counts.
+    """
+    from ..read.reader import infer_schema, read_meta
+
+    metas_by_path = {}
+    schema = None
+    pages_by_path = {}
+    for p in paths:
+        with open(p, "rb") as f:
+            s = infer_schema(f)
+            metas_by_path[p] = read_meta(f)
+        if schema is None:
+            schema = s
+        elif [f.name for f in s] != [f.name for f in schema]:
+            from ..errors import OutOfSpecError
+
+            raise OutOfSpecError(
+                f"dataset files disagree on schema: {p} vs {paths[0]}"
+            )
+        pages_by_path[p] = max(len(m.pages) for m in metas_by_path[p])
+    per_file = max(1, -(-n_shards // len(paths)))  # ceil
+    units = []
+    for p in paths:
+        for r in shard_page_ranges(pages_by_path[p], min(per_file, pages_by_path[p]) or 1):
+            if r.stop > r.start:
+                units.append((p, r))
+    return units, metas_by_path, schema
+
+
+def distributed_scan_dataset(
+    paths: Sequence[str],
+    mesh: Mesh,
+    axis: str = "shards",
+    columns: Optional[Sequence[str]] = None,
+) -> DeviceTable:
+    """Multi-file dataset scanned with work units partitioned over the mesh.
+
+    The pod-scale composition of the dataset layer (``exec.dataset``) and
+    the sharded scan: files split into (path, page-range) units, units
+    greedily pack onto shards by row count, per-shard pieces decode and
+    concatenate host-side, and string dictionaries merge GLOBALLY (one pool
+    dedup over every piece) so codes compare across the whole dataset.
+    Same output contract as :func:`distributed_scan` (padded shards +
+    ``__valid__`` mask).
+    """
+    import heapq
+
+    from ..exec.scan import DeviceColumn
+
+    paths = list(paths)
+    n_shards = mesh.shape[axis]
+    units, metas_by_path, schema = _dataset_units(paths, n_shards)
+
+    # greedy balance: next-largest unit onto the least-loaded shard
+    unit_rows = []
+    for p, r in units:
+        meta0 = metas_by_path[p][0]
+        unit_rows.append(sum(pg.num_values for pg in meta0.pages[r.start : r.stop]))
+    order = sorted(range(len(units)), key=lambda i: -unit_rows[i])
+    heap = [(0, s) for s in range(n_shards)]
+    heapq.heapify(heap)
+    assign: List[List[int]] = [[] for _ in range(n_shards)]
+    for i in order:
+        load, s = heapq.heappop(heap)
+        assign[s].append(i)
+        heapq.heappush(heap, (load + unit_rows[i], s))
+    for lst in assign:
+        lst.sort()  # keep file/page order within a shard
+
+    file_bytes = {p: np.memmap(p, dtype=np.uint8, mode="r") for p in paths}
+    leaf_index = {}
+    i = 0
+    for field in schema:
+        leaf_index[field.name] = i
+        i += n_leaf_columns(field.type)
+
+    shard_vals: Dict[str, List[np.ndarray]] = {}
+    shard_valid: Dict[str, List[Optional[np.ndarray]]] = {}
+    col_dict: Dict[str, Optional[pa.Array]] = {}
+    col_dtype: Dict[str, pa.DataType] = {}
+    rows_per_shard: List[int] = []
+    for field in schema:
+        if columns is not None and field.name not in columns:
+            continue
+        if not is_primitive(field.type) or pa.types.is_null(field.type):
+            raise NotYetImplementedError(
+                f"distributed scan of nested column {field.name!r}; "
+                "select columns=... to exclude it"
+            )
+        pieces: List[List] = []  # per shard: list of DeviceColumn
+        for s in range(n_shards):
+            cols = []
+            for ui in assign[s]:
+                p, r = units[ui]
+                meta = metas_by_path[p][leaf_index[field.name]]
+                keep = np.zeros(len(meta.pages), dtype=bool)
+                keep[r.start : r.stop] = True
+                cols.append(
+                    _decode_shard_column(file_bytes[p], meta, field, keep)
+                )
+            pieces.append(cols)
+        if _is_stringlike(field.type):
+            empty = pa.array([], pa.binary())
+            flat = [c for cols in pieces for c in cols]
+            gdict, tables = _merge_dictionaries(
+                [
+                    c.dictionary if c.dictionary is not None else empty
+                    for c in flat
+                ]
+            )
+            vals, k = [], 0
+            for cols in pieces:
+                parts = []
+                for c in cols:
+                    parts.append(tables[k][np.asarray(c.values)])
+                    k += 1
+                vals.append(
+                    np.concatenate(parts) if parts else np.zeros(0, np.int32)
+                )
+            col_dict[field.name] = gdict
+        else:
+            vals = [
+                np.concatenate([np.asarray(c.values) for c in cols])
+                if cols
+                else np.zeros(0, np.int64)
+                for cols in pieces
+            ]
+            col_dict[field.name] = None
+        if len(rows_per_shard) < n_shards:
+            rows_per_shard = [len(v) for v in vals]
+        shard_vals[field.name] = vals
+        shard_valid[field.name] = [
+            (
+                np.concatenate(
+                    [
+                        np.ones(len(c), dtype=bool)
+                        if c.validity is None
+                        else np.asarray(c.validity)
+                        for c in cols
+                    ]
+                )
+                if cols and any(c.validity is not None for c in cols)
+                else None
+            )
+            for cols in pieces
+        ]
+        col_dtype[field.name] = field.type
+
+    max_rows = max(rows_per_shard) if rows_per_shard else 0
+    sharding = NamedSharding(mesh, P(axis))
+
+    def _put(parts, dtype, fill=0):
+        padded = np.full((n_shards, max_rows), fill, dtype=dtype)
+        for s, pp in enumerate(parts):
+            padded[s, : len(pp)] = pp
+        return jax.device_put(jnp.asarray(padded.reshape(-1)), sharding)
+
+    out_cols: Dict[str, DeviceColumn] = {}
+    for name, parts in shard_vals.items():
+        arr = _put(parts, parts[0].dtype if len(parts[0]) else np.int64)
+        validity = None
+        vparts = shard_valid[name]
+        if any(v is not None for v in vparts):
+            vfull = [
+                np.ones(len(p), dtype=bool) if v is None else v
+                for p, v in zip(parts, vparts)
+            ]
+            validity = _put(vfull, np.bool_, fill=False)
+        out_cols[name] = DeviceColumn(
+            name, col_dtype[name], arr, validity, dictionary=col_dict[name]
+        )
+    valid = np.zeros((n_shards, max_rows), dtype=bool)
+    for s, r in enumerate(rows_per_shard):
+        valid[s, :r] = True
+    out_cols["__valid__"] = DeviceColumn(
+        "__valid__",
+        pa.bool_(),
+        jax.device_put(jnp.asarray(valid.reshape(-1)), sharding),
+        None,
+    )
+    return DeviceTable(out_cols, n_shards * max_rows)
