@@ -48,6 +48,13 @@ def emit(metric, value, unit, vs_baseline, **extra):
     }
     row.update(extra)
     print(json.dumps(row), flush=True)
+    return row
+
+
+# the headline row (bitpack_decode_bandwidth) is computed FIRST but printed
+# LAST; the watchdog reprints it if a later stage wedges the process, so a
+# slow relay day degrades the auxiliary metrics, never the headline
+_HEADLINE = {}
 
 
 def bench_e2e_scan(tmpdir: str):
@@ -68,7 +75,7 @@ def bench_e2e_scan(tmpdir: str):
     from strawboat_tpu.constants import Compression
     from strawboat_tpu.exec import scan_file
 
-    n = 1 << 24  # 16.7M rows = 134 MB decoded
+    n = int(os.environ.get("SB_E2E_ROWS", 1 << 24))  # 16.7M rows = 134 MB
     rng = np.random.default_rng(0)
     vals = rng.integers(0, 1 << 40, n, dtype=np.int64)
     table = pa.table({"a": pa.array(vals)})
@@ -566,7 +573,15 @@ def bench_bitunpack():
         # non-TPU backend); don't report a fake win
         gbps = 0.0
         extra["note"] = "timing degenerate"
-    emit("bitpack_decode_bandwidth", gbps, "GB/s", gbps / TARGET, **extra)
+    _HEADLINE.update(
+        {
+            "metric": "bitpack_decode_bandwidth",
+            "value": round(float(gbps), 4),
+            "unit": "GB/s",
+            "vs_baseline": round(float(gbps / TARGET), 4),
+            **extra,
+        }
+    )
 
 
 def main() -> int:
@@ -577,18 +592,39 @@ def main() -> int:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    t_start = time.perf_counter()
+    # headline FIRST (captured in _HEADLINE, printed last): a slow relay day
+    # must degrade auxiliary metrics, never the headline
+    try:
+        bench_bitunpack()
+    except Exception as e:  # noqa: BLE001
+        _HEADLINE.update(
+            {
+                "metric": "bitpack_decode_bandwidth",
+                "value": 0.0,
+                "unit": "GB/s",
+                "vs_baseline": 0.0,
+                "note": str(e)[:200],
+            }
+        )
     with tempfile.TemporaryDirectory(prefix="sb_bench_") as tmpdir:
         for stage in (
             lambda: bench_e2e_scan(tmpdir),
             lambda: bench_tpch(tmpdir),
             lambda: bench_resident_scan(tmpdir),
         ):
+            if time.perf_counter() - t_start > 1000:
+                emit(
+                    "bench_stage_skipped", 0.0, "n/a", 0.0,
+                    note="relay too slow: budget spent, protecting headline",
+                )
+                break
             try:
                 stage()
             except Exception as e:  # noqa: BLE001
                 emit("bench_stage_error", 0.0, "n/a", 0.0, note=str(e)[:200])
     # headline metric LAST (drivers that parse the final line get it)
-    bench_bitunpack()
+    print(json.dumps(_HEADLINE), flush=True)
     return 0
 
 
@@ -613,17 +649,23 @@ def _watchdog_main() -> int:
     t.join(timeout=1400)
     if t.is_alive() or "error" in result:
         note = result.get("error", "device wedged: fetch timeout")
-        print(
-            json.dumps(
-                {
-                    "metric": "bitpack_decode_bandwidth",
-                    "value": 0.0,
-                    "unit": "GB/s",
-                    "vs_baseline": 0.0,
-                    "note": note[:200],
-                }
+        if _HEADLINE.get("value"):
+            # the headline itself completed before the wedge — report it
+            row = dict(_HEADLINE)
+            row["note"] = (row.get("note", "") + " " + note)[:200].strip()
+            print(json.dumps(row), flush=True)
+        else:
+            print(
+                json.dumps(
+                    {
+                        "metric": "bitpack_decode_bandwidth",
+                        "value": 0.0,
+                        "unit": "GB/s",
+                        "vs_baseline": 0.0,
+                        "note": note[:200],
+                    }
+                )
             )
-        )
         os._exit(1)
     return result.get("rc", 0)
 
