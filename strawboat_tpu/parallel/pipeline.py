@@ -152,3 +152,70 @@ def pipelined_distributed_aggregate(
     for name, o in zip(agg_names, fouts):
         result[name] = o
     return result
+
+
+def streamed_dataset_aggregate(
+    mesh: Mesh,
+    axis: str,
+    paths,
+    key: str,
+    aggs: Dict[str, Tuple[str, str]],
+    chunk_pages: int = 64,
+    num_groups: int = 4096,
+    predicates=None,
+):
+    """BASELINE config-5 shape at dataset scale: stream a (multi-file)
+    dataset through the pipelined distributed aggregate without ever
+    holding the whole table — chunk i+1 decodes while chunk i's keyed
+    all_to_all exchange is in flight.
+
+    ``aggs``: {out_name: (fn, column_name)} over numeric columns; ``key``
+    must be numeric (string keys need a global dictionary — use
+    ``dist_scan.distributed_scan_dataset`` + ``distributed_aggregate`` for
+    those).  File-level zone pruning applies before any chunk decodes.
+    """
+    from jax.sharding import NamedSharding
+
+    from ..errors import NotYetImplementedError
+    from ..exec.dataset import iter_dataset_chunks
+
+    n_shards = mesh.shape[axis]
+    sharding = NamedSharding(mesh, P(axis))
+    cols = sorted({key} | {c for (_fn, c) in aggs.values()})
+
+    def _chunks():
+        import numpy as np
+
+        for chunk in iter_dataset_chunks(
+            paths, chunk_pages, columns=cols, predicates=predicates
+        ):
+            kc = chunk[key]
+            if kc.dictionary is not None:
+                raise NotYetImplementedError(
+                    "streamed aggregate over dictionary-coded keys "
+                    "(per-chunk dictionaries are not comparable)"
+                )
+            n = chunk.num_rows
+            padded = -(-max(n, 1) // n_shards) * n_shards
+
+            def _put(c):
+                v = c.values
+                if padded != v.shape[0]:
+                    v = jnp.concatenate(
+                        [v, jnp.zeros(padded - v.shape[0], dtype=v.dtype)]
+                    )
+                return jax.device_put(v, sharding)
+
+            mask_np = np.zeros(padded, dtype=bool)
+            mask_np[:n] = True
+            for c in cols:
+                if chunk[c].validity is not None:
+                    mask_np[:n] &= np.asarray(chunk[c].validity)
+            mask = jax.device_put(jnp.asarray(mask_np), sharding)
+            yield (
+                _put(kc),
+                {name: (fn, _put(chunk[c])) for name, (fn, c) in aggs.items()},
+                mask,
+            )
+
+    return pipelined_distributed_aggregate(mesh, axis, _chunks(), num_groups)

@@ -479,3 +479,57 @@ def test_distributed_scan_dataset(tmp_path):
 
     exp2 = dict(collections.Counter(s.tolist()))
     assert got2 == exp2
+
+
+def test_streamed_dataset_aggregate(tmp_path):
+    """Streaming dataset -> pipelined distributed aggregate == numpy, with
+    file-level pruning engaged (one part proven irrelevant by its zones)."""
+    import pyarrow as pa
+
+    from strawboat_tpu.api import write_file
+    from strawboat_tpu.codecs import WriteOptions
+    from strawboat_tpu.constants import Compression
+    from strawboat_tpu.exec.pruning import Comparison
+    from strawboat_tpu.parallel import make_mesh
+    from strawboat_tpu.parallel.pipeline import streamed_dataset_aggregate
+
+    mesh = make_mesh(8)
+    opts = WriteOptions(
+        default_compression=Compression.LZ4, max_page_size=64, zone_maps=True
+    )
+    paths, gs, vs, ds = [], [], [], []
+    for i in range(3):
+        rng = np.random.default_rng(10 + i)
+        n = 300 + 40 * i
+        g = rng.integers(0, 7, n).astype(np.int64)
+        v = rng.integers(0, 1000, n).astype(np.int64)
+        dt_col = np.full(n, i * 100, dtype=np.int64)  # per-file date band
+        t = pa.table(
+            {"g": pa.array(g), "v": pa.array(v), "d": pa.array(dt_col)}
+        )
+        p = str(tmp_path / f"s-{i}.str")
+        write_file(p, t, options=opts)
+        paths.append(p), gs.append(g), vs.append(v), ds.append(dt_col)
+
+    preds = [Comparison("d", "lt", 150)]  # drops file 2 footer-only
+    res = streamed_dataset_aggregate(
+        mesh,
+        "shards",
+        paths,
+        key="g",
+        aggs={"total": ("sum", "v"), "cnt": ("count", "v")},
+        chunk_pages=2,
+        num_groups=64,
+        predicates=preds,
+    )
+    ok = np.asarray(res["valid"])
+    got = dict(
+        zip(
+            np.asarray(res["keys"])[ok].tolist(),
+            np.asarray(res["total"])[ok].tolist(),
+        )
+    )
+    g = np.concatenate(gs[:2])
+    v = np.concatenate(vs[:2])
+    exp = {int(x): int(v[g == x].sum()) for x in np.unique(g)}
+    assert got == exp
