@@ -203,3 +203,33 @@ def test_write_dataset_roundtrip(tmp_path):
     dt = scan_dataset(paths, predicates=preds)
     v = np.asarray(dt["k"].values)
     assert v.min() == 512 and v.max() == 767
+
+
+def test_dataset_concat_decimal_bool_f64(tmp_path):
+    """Concat covers every simple column class: decimal(<=18), bool, f64
+    (host_exact preserved so materialization stays bit-exact)."""
+    from decimal import Decimal
+
+    t1 = pa.table(
+        {
+            "m": pa.array([Decimal("1.23"), Decimal("4.56")], pa.decimal128(10, 2)),
+            "b": pa.array([True, False]),
+            "f": pa.array([1.5, 2.25], pa.float64()),
+        }
+    )
+    t2 = pa.table(
+        {
+            "m": pa.array([Decimal("7.89"), None], pa.decimal128(10, 2)),
+            "b": pa.array([None, True]),
+            "f": pa.array([3.125, None], pa.float64()),
+        }
+    )
+    p1, p2 = str(tmp_path / "d1.str"), str(tmp_path / "d2.str")
+    write_file(p1, t1, options=OPTS)
+    write_file(p2, t2, options=OPTS)
+    dt = scan_dataset([p1, p2])
+    got = dt.to_arrow()
+    exp = pa.concat_tables([t1, t2])
+    assert got.column("m").to_pylist() == exp.column("m").to_pylist()
+    assert got.column("b").to_pylist() == exp.column("b").to_pylist()
+    assert got.column("f").to_pylist() == exp.column("f").to_pylist()
