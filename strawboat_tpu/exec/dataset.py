@@ -224,3 +224,112 @@ def iter_dataset_chunks(
         yield from scan_chunks(
             p, chunk_pages, columns=columns, predicates=predicates
         )
+
+
+# ---------------------------------------------------------------------------
+# Manifest: object-store planning without touching part footers.
+#
+# The reference exports its column metas as JSON for external catalogs
+# (/root/reference/examples/strawboat_write.rs:45-52); a dataset manifest is
+# that idea one level up: per part, the row count and FILE-level zone fold
+# (min/max/null_count per column), so the planner prunes parts with zero
+# reads.  The manifest is advisory — scanning falls back to per-file footer
+# checks for parts it doesn't list.
+
+
+def dataset_manifest(paths: Union[str, Sequence[str]]) -> dict:
+    """Build a manifest dict for the given parts (reads footers once)."""
+    from ..read.reader import read_meta
+    from .pruning import read_zones
+
+    parts = []
+    for p in resolve_paths(paths):
+        with open(p, "rb") as f:
+            metas = read_meta(f)
+        n_rows = int(sum(pg.num_values for pg in metas[0].pages))
+        zones = read_zones(p)
+        cols = {}
+        if zones:
+            for name, cz in zones.items():
+                mins = [z.min for z in cz.pages if z.min is not None]
+                maxs = [z.max for z in cz.pages if z.max is not None]
+                if mins:
+                    cols[name] = {
+                        "min": min(mins),
+                        "max": max(maxs),
+                        "null_count": int(sum(z.null_count for z in cz.pages)),
+                        "kind": cz.kind or "i",
+                    }
+        parts.append({"path": p, "num_rows": n_rows, "columns": cols})
+    return {"version": 1, "parts": parts}
+
+
+def write_manifest(manifest: dict, path: str) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump(manifest, f, indent=1, default=int)
+
+
+def load_manifest(path: str) -> dict:
+    import json
+
+    with open(path) as f:
+        return json.load(f)
+
+
+def _part_may_match(entry: dict, predicates: Optional[Sequence]) -> bool:
+    """Manifest-level prune: conservative 3-valued check per predicate."""
+    if not predicates:
+        return True
+    for pred in predicates:
+        c = entry.get("columns", {}).get(pred.column)
+        if c is None:
+            continue
+        lo, hi, v = c["min"], c["max"], pred.value
+        op = pred.op
+        if op == "eq" and (v < lo or v > hi):
+            return False
+        if op in ("lt",) and not (lo < v):
+            return False
+        if op in ("le",) and not (lo <= v):
+            return False
+        if op in ("gt",) and not (hi > v):
+            return False
+        if op in ("ge",) and not (hi >= v):
+            return False
+    return True
+
+
+def scan_dataset_with_manifest(
+    manifest: dict,
+    columns: Optional[Sequence[str]] = None,
+    predicates: Optional[Sequence] = None,
+) -> DeviceTable:
+    """Like :func:`scan_dataset` but parts prune from the manifest with ZERO
+    file reads; surviving parts still page-prune from their own zones."""
+    survivors = [
+        e["path"] for e in manifest["parts"] if _part_may_match(e, predicates)
+    ]
+    if not survivors:
+        survivors = [manifest["parts"][0]["path"]]
+        predicates = predicates or []
+    return scan_dataset(survivors, columns=columns, predicates=predicates)
+
+
+def compact_dataset(
+    paths: Union[str, Sequence[str]],
+    out_dir: str,
+    rows_per_file: int,
+    options=None,
+    prefix: str = "part",
+) -> List[str]:
+    """Rewrite many small parts into balanced larger ones (or vice versa).
+
+    Reads through the device scan (exact arrow rebuild, incl. bit-exact f64
+    via ``host_exact``), writes standalone parts with fresh zone blocks.
+    """
+    dt = scan_dataset(paths)
+    return write_dataset(
+        out_dir, dt.to_arrow(), rows_per_file, options=options, prefix=prefix
+    )

@@ -233,3 +233,51 @@ def test_dataset_concat_decimal_bool_f64(tmp_path):
     assert got.column("m").to_pylist() == exp.column("m").to_pylist()
     assert got.column("b").to_pylist() == exp.column("b").to_pylist()
     assert got.column("f").to_pylist() == exp.column("f").to_pylist()
+
+
+def test_manifest_prunes_without_file_reads(tmp_path):
+    """Manifest-level pruning decides from the JSON alone (files renamed
+    away to prove no file access happens for pruned parts)."""
+    import os
+
+    from strawboat_tpu.exec.dataset import (
+        dataset_manifest,
+        load_manifest,
+        scan_dataset_with_manifest,
+        write_manifest,
+    )
+
+    paths, tables = _write_parts(tmp_path, with_strings=False)
+    man = dataset_manifest(paths)
+    assert [e["num_rows"] for e in man["parts"]] == [700, 700, 700]
+    assert man["parts"][0]["columns"]["a"]["min"] >= 0
+    mpath = str(tmp_path / "manifest.json")
+    write_manifest(man, mpath)
+    man2 = load_manifest(mpath)
+
+    # predicate selects only part 1; make parts 0/2 unreadable to prove the
+    # manifest pruned them without touching the files
+    os.rename(paths[0], paths[0] + ".hidden")
+    os.rename(paths[2], paths[2] + ".hidden")
+    preds = [Comparison("a", "ge", 10_000), Comparison("a", "lt", 15_000)]
+    dt = scan_dataset_with_manifest(man2, predicates=preds)
+    got = np.sort(np.asarray(dt["a"].values))
+    exp = np.sort(tables[1].column("a").to_numpy())
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_compact_dataset_roundtrip(tmp_path):
+    from strawboat_tpu.exec.dataset import compact_dataset
+
+    paths, tables = _write_parts(tmp_path, n_files=3, rows=500, with_strings=True)
+    out = compact_dataset(
+        paths, str(tmp_path / "compacted"), rows_per_file=1500, options=OPTS
+    )
+    assert len(out) == 1
+    got = scan_dataset(out).to_arrow()
+    exp = pa.concat_tables(tables)
+    assert got.column("a").to_pylist() == exp.column("a").to_pylist()
+    assert got.column("s").to_pylist() == exp.column("s").to_pylist()
+    # compacted part carries fresh zones: pruning still works
+    preds = [Comparison("a", "ge", 10**9)]
+    assert not file_may_match(out[0], preds)
