@@ -56,11 +56,13 @@ def read_table(
     per_field = split_metas_by_field(schema, metas)
     if arena is not None:
         arena.recycle()
-    arrays = []
-    fields = []
-    for field, field_metas in zip(schema, per_field):
-        if columns is not None and field.name not in columns:
-            continue
+    work = [
+        (field, field_metas)
+        for field, field_metas in zip(schema, per_field)
+        if columns is None or field.name in columns
+    ]
+
+    def _one(field, field_metas):
         arr = (
             read_column_fast(file_bytes, field_metas[0], field, arena=arena)
             if len(field_metas) == 1
@@ -71,8 +73,22 @@ def read_table(
             arr = batch_read_column(readers, field).to_arrow()
             for r in readers:
                 r.page_reader.close()
-        arrays.append(arr)
-        fields.append(field)
+        return arr
+
+    if len(work) > 1:
+        # columns decode concurrently: the hot loops (native decompress,
+        # numpy gathers/bit ops) release the GIL, so this scales on cores
+        # like the reference's Send+Sync per-column drive in Databend
+        import concurrent.futures as cf
+        import os as _os
+
+        with cf.ThreadPoolExecutor(
+            max_workers=min(len(work), _os.cpu_count() or 2)
+        ) as pool:
+            arrays = list(pool.map(lambda w: _one(*w), work))
+    else:
+        arrays = [_one(f, m) for f, m in work]
+    fields = [f for f, _m in work]
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
 
