@@ -21,6 +21,8 @@ import pyarrow as pa
 
 from .. import native
 from ..codecs import read_header
+from ..constants import Compression
+from ..errors import OutOfSpecError
 from ..meta import ColumnMeta
 from .levels import read_validity
 
@@ -77,6 +79,49 @@ def _arrow_fixed_np_dtype(t: pa.DataType) -> Optional[np.dtype]:
     return None
 
 
+def _read_dict_column_batched(
+    dict_jobs, meta, field, np_dtype, validities, nullable, arena
+):
+    """All-DICT column: native one-pass index decode per page + ONE gather.
+
+    The per-page python of the general reader disappears: indices decode in
+    C (mixed block widths in one walk), per-page dictionaries concatenate
+    with base offsets, and a single ``np.take(..., out=...)`` writes the
+    final values buffer (arena-recyclable).
+    """
+    n_rows = int(sum(nv for nv, _b, _ib, _d in dict_jobs))
+    total = n_rows * np_dtype.itemsize
+    out = arena.get(total) if arena is not None else np.empty(total, np.uint8)
+    out_typed = out.view(np_dtype)
+    dicts = [d for _nv, _b, _ib, d in dict_jobs]
+    bases = np.zeros(len(dicts), dtype=np.int64)
+    bases[1:] = np.cumsum([len(d) for d in dicts[:-1]])
+    all_dict = np.concatenate(dicts) if len(dicts) > 1 else dicts[0]
+    codes = np.empty(n_rows, dtype=np.int64)
+    row = 0
+    for (num_values, buf, ibody, _d), base in zip(dict_jobs, bases):
+        n_blocks = (num_values + 127) // 128
+        vals, _end = native.bp_decode(buf, ibody, n_blocks)
+        np.add(vals[:num_values], base, out=codes[row : row + num_values])
+        row += num_values
+    try:
+        np.take(all_dict, codes, out=out_typed)
+    except IndexError as e:
+        raise OutOfSpecError(f"dict index out of range: {e}") from None
+    null_bitmap = None
+    if nullable and any(v is not None for v in validities):
+        vbits = np.concatenate(
+            [
+                np.ones(p.num_values, dtype=bool) if v is None else v
+                for v, p in zip(validities, meta.pages)
+            ]
+        )
+        null_bitmap = pa.py_buffer(np.packbits(vbits, bitorder="little").tobytes())
+    return pa.Array.from_buffers(
+        field.type, n_rows, [null_bitmap, pa.py_buffer(out)]
+    )
+
+
 def read_column_fast(
     file_bytes: np.ndarray,
     meta: ColumnMeta,
@@ -93,6 +138,7 @@ def read_column_fast(
         return None
     nullable = bool(field.nullable)
     jobs = []  # (codec_int, in_slice, out_len)
+    dict_jobs = []  # (num_values, buf, index_body, dict_values)
     validities = []  # per page: None (all valid) | bool array
     pos = meta.offset
     for page in meta.pages:
@@ -103,12 +149,31 @@ def read_column_fast(
             v, p = read_validity(buf, 0, page.num_values)
             validities.append(v)
         codec, csize, _us, body = read_header(buf, p)
-        if not codec.raw_mode:
+        if codec == Compression.DICT and not jobs:
+            # adaptive files pick DICT constantly (TPC-H: 8/10 lineitem
+            # columns) — decode the bitpacked index subpage in one native
+            # pass per page and defer ONE global gather for the column
+            icodec, icsize, _ius, ibody = read_header(buf, body)
+            if icodec != Compression.BITPACKING:
+                return None
+            vpos = ibody + icsize
+            count = int(np.frombuffer(buf, "<u4", 1, vpos)[0])
+            if count == 0:
+                return None  # all-null page: let the general reader handle
+            dvals = np.frombuffer(buf, np_dtype, count, vpos + 4)
+            dict_jobs.append((page.num_values, buf, ibody, dvals))
+            pos = page_end
+            continue
+        if not codec.raw_mode or dict_jobs:
             return None
         jobs.append(
             (int(codec), buf[body : body + csize], page.num_values * np_dtype.itemsize)
         )
         pos = page_end
+    if dict_jobs:
+        return _read_dict_column_batched(
+            dict_jobs, meta, field, np_dtype, validities, nullable, arena
+        )
     n_rows = int(sum(p.num_values for p in meta.pages))
     out_lens = np.asarray([j[2] for j in jobs], dtype=np.int64)
     offsets = np.zeros(len(jobs) + 1, dtype=np.int64)
