@@ -62,12 +62,16 @@ def read_table(
         if columns is None or field.name in columns
     ]
 
+    from .read.fast import read_binary_column_fast
+
     def _one(field, field_metas):
-        arr = (
-            read_column_fast(file_bytes, field_metas[0], field, arena=arena)
-            if len(field_metas) == 1
-            else None
-        )
+        arr = None
+        if len(field_metas) == 1:
+            arr = read_column_fast(
+                file_bytes, field_metas[0], field, arena=arena
+            )
+            if arr is None:
+                arr = read_binary_column_fast(file_bytes, field_metas[0], field)
         if arr is None:
             readers = open_readers(path, field_metas)
             arr = batch_read_column(readers, field).to_arrow()

@@ -122,6 +122,106 @@ def _read_dict_column_batched(
     )
 
 
+def _parse_dict_sets(buf: np.ndarray, pos: int, count: int) -> pa.Array:
+    """Binary dict page ``[u64 len][bytes]*count`` set list → pa.binary
+    (reference binary/dict.rs:90-99; dictionaries are KB-scale)."""
+    lens = np.empty(count, dtype=np.int64)
+    parts = []
+    for i in range(count):
+        ln = int(np.frombuffer(buf, "<u8", 1, pos)[0])
+        pos += 8
+        parts.append(buf[pos : pos + ln])
+        pos += ln
+        lens[i] = ln
+    offs = np.zeros(count + 1, dtype=np.int32)
+    np.cumsum(lens, out=offs[1:])
+    values = np.concatenate(parts) if parts else np.empty(0, np.uint8)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        count,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(values.tobytes())],
+    )
+
+
+def read_binary_column_fast(
+    file_bytes: np.ndarray,
+    meta: ColumnMeta,
+    field: pa.Field,
+) -> Optional[pa.Array]:
+    """All-DICT utf8/binary column → pa.Array via one arrow take.
+
+    Index subpages decode in one native walk per page; per-page
+    dictionaries concatenate with base offsets; ONE ``pc.take`` (null
+    indices → null rows) materializes the strings in C++.  Returns None
+    for any other layout (general reader handles it).
+    """
+    import pyarrow.compute as pc
+
+    if not native.available():
+        return None
+    t = field.type
+    if not (
+        pa.types.is_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_large_binary(t)
+    ):
+        return None
+    nullable = bool(field.nullable)
+    jobs = []  # (num_values, buf, index_body, pa dict array)
+    validities = []
+    pos = meta.offset
+    for page in meta.pages:
+        page_end = pos + page.length
+        buf = file_bytes[pos:page_end]
+        p = 0
+        if nullable:
+            v, p = read_validity(buf, 0, page.num_values)
+            validities.append(v)
+        codec, _csize, _us, body = read_header(buf, p)
+        if codec != Compression.DICT:
+            return None
+        icodec, icsize, _ius, ibody = read_header(buf, body)
+        if icodec != Compression.BITPACKING:
+            return None
+        vpos = ibody + icsize
+        count = int(np.frombuffer(buf, "<u4", 1, vpos)[0])
+        if count == 0:
+            return None
+        jobs.append((page.num_values, buf, ibody, _parse_dict_sets(buf, vpos + 4, count)))
+        pos = page_end
+    if not jobs:
+        return None  # zero-page column: general reader emits the empty array
+    n_rows = int(sum(nv for nv, _b, _ib, _d in jobs))
+    dicts = [d for _nv, _b, _ib, d in jobs]
+    bases = np.zeros(len(dicts), dtype=np.int64)
+    bases[1:] = np.cumsum([len(d) for d in dicts[:-1]])
+    all_dict = pa.concat_arrays(dicts) if len(dicts) > 1 else dicts[0]
+    codes = np.empty(n_rows, dtype=np.int64)
+    row = 0
+    for (num_values, buf, ibody, _d), base in zip(jobs, bases):
+        n_blocks = (num_values + 127) // 128
+        vals, _end = native.bp_decode(buf, ibody, n_blocks)
+        np.add(vals[:num_values], base, out=codes[row : row + num_values])
+        row += num_values
+    mask = None
+    if nullable and any(v is not None for v in validities):
+        vbits = np.concatenate(
+            [
+                np.ones(p.num_values, dtype=bool) if v is None else v
+                for v, p in zip(validities, meta.pages)
+            ]
+        )
+        mask = ~vbits
+    try:
+        arr = pc.take(all_dict, pa.array(codes, mask=mask))
+    except pa.ArrowIndexError as e:
+        raise OutOfSpecError(f"dict index out of range: {e}") from None
+    if arr.type != t:
+        arr = arr.cast(t)
+    return arr
+
+
 def read_column_fast(
     file_bytes: np.ndarray,
     meta: ColumnMeta,
