@@ -89,20 +89,23 @@ def _read_dict_column_batched(
     with base offsets, and a single ``np.take(..., out=...)`` writes the
     final values buffer (arena-recyclable).
     """
-    n_rows = int(sum(nv for nv, _b, _ib, _d in dict_jobs))
+    n_rows = int(sum(j[0] for j in dict_jobs))
     total = n_rows * np_dtype.itemsize
     out = arena.get(total) if arena is not None else np.empty(total, np.uint8)
     out_typed = out.view(np_dtype)
-    dicts = [d for _nv, _b, _ib, d in dict_jobs]
+    dicts = [j[3] for j in dict_jobs]
     bases = np.zeros(len(dicts), dtype=np.int64)
     bases[1:] = np.cumsum([len(d) for d in dicts[:-1]])
     all_dict = np.concatenate(dicts) if len(dicts) > 1 else dicts[0]
     codes = np.empty(n_rows, dtype=np.int64)
     row = 0
-    for (num_values, buf, ibody, _d), base in zip(dict_jobs, bases):
+    for (num_values, buf, ibody, _d, is_delta), base in zip(dict_jobs, bases):
         n_blocks = (num_values + 127) // 128
         vals, _end = native.bp_decode(buf, ibody, n_blocks)
-        np.add(vals[:num_values], base, out=codes[row : row + num_values])
+        vals = vals[:num_values]
+        if is_delta:  # sequential deltas, whole-page carry (delta_bp.rs)
+            vals = np.cumsum(vals, dtype=np.uint32)
+        np.add(vals, base, out=codes[row : row + num_values])
         row += num_values
     try:
         np.take(all_dict, codes, out=out_typed)
@@ -182,27 +185,38 @@ def read_binary_column_fast(
         if codec != Compression.DICT:
             return None
         icodec, icsize, _ius, ibody = read_header(buf, body)
-        if icodec != Compression.BITPACKING:
+        if icodec not in (Compression.BITPACKING, Compression.DELTA_BITPACKING):
             return None
         vpos = ibody + icsize
         count = int(np.frombuffer(buf, "<u4", 1, vpos)[0])
         if count == 0:
             return None
-        jobs.append((page.num_values, buf, ibody, _parse_dict_sets(buf, vpos + 4, count)))
+        jobs.append(
+            (
+                page.num_values,
+                buf,
+                ibody,
+                _parse_dict_sets(buf, vpos + 4, count),
+                icodec == Compression.DELTA_BITPACKING,
+            )
+        )
         pos = page_end
     if not jobs:
         return None  # zero-page column: general reader emits the empty array
-    n_rows = int(sum(nv for nv, _b, _ib, _d in jobs))
-    dicts = [d for _nv, _b, _ib, d in jobs]
+    n_rows = int(sum(j[0] for j in jobs))
+    dicts = [j[3] for j in jobs]
     bases = np.zeros(len(dicts), dtype=np.int64)
     bases[1:] = np.cumsum([len(d) for d in dicts[:-1]])
     all_dict = pa.concat_arrays(dicts) if len(dicts) > 1 else dicts[0]
     codes = np.empty(n_rows, dtype=np.int64)
     row = 0
-    for (num_values, buf, ibody, _d), base in zip(jobs, bases):
+    for (num_values, buf, ibody, _d, is_delta), base in zip(jobs, bases):
         n_blocks = (num_values + 127) // 128
         vals, _end = native.bp_decode(buf, ibody, n_blocks)
-        np.add(vals[:num_values], base, out=codes[row : row + num_values])
+        vals = vals[:num_values]
+        if is_delta:
+            vals = np.cumsum(vals, dtype=np.uint32)
+        np.add(vals, base, out=codes[row : row + num_values])
         row += num_values
     mask = None
     if nullable and any(v is not None for v in validities):
@@ -254,14 +268,25 @@ def read_column_fast(
             # columns) — decode the bitpacked index subpage in one native
             # pass per page and defer ONE global gather for the column
             icodec, icsize, _ius, ibody = read_header(buf, body)
-            if icodec != Compression.BITPACKING:
+            if icodec not in (
+                Compression.BITPACKING,
+                Compression.DELTA_BITPACKING,
+            ):
                 return None
             vpos = ibody + icsize
             count = int(np.frombuffer(buf, "<u4", 1, vpos)[0])
             if count == 0:
                 return None  # all-null page: let the general reader handle
             dvals = np.frombuffer(buf, np_dtype, count, vpos + 4)
-            dict_jobs.append((page.num_values, buf, ibody, dvals))
+            dict_jobs.append(
+                (
+                    page.num_values,
+                    buf,
+                    ibody,
+                    dvals,
+                    icodec == Compression.DELTA_BITPACKING,
+                )
+            )
             pos = page_end
             continue
         if not codec.raw_mode or dict_jobs:
