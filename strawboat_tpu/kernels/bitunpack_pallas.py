@@ -246,6 +246,66 @@ def bitunpack_pallas_tiled_seeded(
         )(seed.astype(jnp.uint32).reshape(1), wt3)
 
 
+def _plane_kernel_natural(b: int, seed_ref, wt_ref, out_ref):
+    """Divisor widths: unpack AND restore natural value order in VMEM.
+
+    HBM-side transposes of the t-major layout have 16-byte granularity
+    (lane = 4*block + l, value = 128*block + 4t + l) and run ~20x off the
+    streaming ceiling; doing the same rearrangement on the tile while it
+    sits in VMEM keeps every HBM access contiguous.  Output tile is
+    (tile/4, 128): row = block, columns = the block's 128 values — so the
+    full output reshapes STRAIGHT to flat natural order.
+    """
+    w = wt_ref[0] ^ seed_ref[0]  # (b, tile)
+    mask = jnp.uint32((1 << b) - 1) if b < 32 else jnp.uint32(0xFFFFFFFF)
+    P = 32 // b
+    tile = w.shape[1]
+    # rows in t order: t = j*P + p → word j = t // P, shift (t % P) * b
+    vt = jnp.concatenate(
+        [
+            ((w[j : j + 1, :] >> jnp.uint32(p * b)) & mask)
+            for j in range(b)
+            for p in range(P)
+        ],
+        axis=0,
+    )  # (32, tile), row index IS t
+    out_ref[0, :, :] = (
+        vt.reshape(32, tile // 4, 4).transpose(1, 0, 2).reshape(tile // 4, 128)
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def bitunpack_pallas_tiled_natural(
+    wt3: jax.Array, seed: jax.Array, num_bits: int
+) -> jax.Array:
+    """(n_tiles, b, tile) ^ seed → (n_tiles*tile/4, 128) blocks in NATURAL
+    order: ``result.reshape(-1)`` is the flat natural-order column (padded).
+
+    Divisor widths only (the varwidth/rowloop layouts keep the two-step
+    path)."""
+    b = num_bits
+    assert 32 % b == 0, "natural-order kernel: divisor widths only"
+    n_tiles, rows, tile = wt3.shape
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_plane_kernel_natural, b),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, rows, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, tile // 4, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_tiles, tile // 4, 128), jnp.uint32
+            ),
+        )(seed.astype(jnp.uint32).reshape(1), wt3)
+    return out.reshape(n_tiles * (tile // 4), 128)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def bitunpack_tiled_to_flat(out3: jax.Array, num_bits: int) -> jax.Array:
     """Tiled kernel output → flat natural value order (padded length).

@@ -181,3 +181,54 @@ def test_bitunpack_pallas_tiled_interpret():
                 np.asarray(seeded), np.asarray(ref), err_msg=f"seeded b={b}"
             )
     importlib.reload(m)
+
+
+def test_bitunpack_natural_kernel_interpret():
+    """In-VMEM natural-order kernel: reshape(-1) IS flat natural order."""
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    with mock.patch.object(pl, "pallas_call", patched):
+        import importlib
+
+        from strawboat_tpu.kernels import bitunpack_pallas as m
+
+        importlib.reload(m)
+        rng = np.random.default_rng(3)
+        for b in (1, 2, 4, 8, 16, 32):
+            n_blocks = 256
+            vals = rng.integers(
+                0, 1 << b if b < 32 else 1 << 32, (n_blocks, 128), dtype=np.uint64
+            ).astype(np.uint32)
+            packed = b"".join(pack_block128(v, b) for v in vals)
+            wt3 = m.transpose_words_host_tiled(
+                np.frombuffer(packed, np.uint32), b, tile=512
+            )
+            out = m.bitunpack_pallas_tiled_natural(
+                jnp.asarray(wt3), jnp.uint32(0), b
+            )
+            flat = np.asarray(out).reshape(-1)[: n_blocks * 128]
+            np.testing.assert_array_equal(
+                flat.reshape(n_blocks, 128), vals, err_msg=str(b)
+            )
+            # seed parity with the two-step path
+            s = np.uint32(0x5A5A1234)
+            out_s = m.bitunpack_pallas_tiled_natural(
+                jnp.asarray(wt3), jnp.uint32(s), b
+            )
+            ref = m.bitunpack_tiled_to_flat(
+                m.bitunpack_pallas_tiled(jnp.asarray(wt3 ^ s), b), b
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out_s).reshape(-1),
+                np.asarray(ref),
+                err_msg=f"seeded b={b}",
+            )
+    importlib.reload(m)
