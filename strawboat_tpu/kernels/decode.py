@@ -128,6 +128,7 @@ def bitunpack_natural_device(words: np.ndarray, num_bits: int) -> jax.Array:
             from .bitunpack_pallas import (
                 TILE3D,
                 bitunpack_pallas_tiled,
+                bitunpack_pallas_tiled_natural,
                 bitunpack_tiled_to_flat,
                 transpose_words_device_tiled,
             )
@@ -137,6 +138,16 @@ def bitunpack_natural_device(words: np.ndarray, num_bits: int) -> jax.Array:
             wt3 = transpose_words_device_tiled(
                 jnp.asarray(words.reshape(-1)), b, tile
             )
+            if 32 % b == 0:
+                try:
+                    # divisor widths: reorder to natural order INSIDE the
+                    # kernel (VMEM) when Mosaic supports the shape cast —
+                    # the HBM-side restore is a 16B-granularity transpose
+                    return bitunpack_pallas_tiled_natural(
+                        wt3, jnp.uint32(0), b
+                    ).reshape(-1)
+                except Exception:
+                    pass  # Mosaic shape-cast unsupported → two-step path
             out3 = bitunpack_pallas_tiled(wt3, b)
             return bitunpack_tiled_to_flat(out3, b)
         except Exception:  # Mosaic lowering failure → XLA fallback
