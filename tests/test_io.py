@@ -288,14 +288,17 @@ def test_read_arena_recycles_buffers(tmp_strawboat):
     addrs1 = {
         got1.column(c).chunk(0).buffers()[1].address for c in ("a", "f")
     }
+    arena_engaged = bool(arena._lent)  # forced-codec CI runs can push every
+    # column off the fast path; recycling (and aliasing) only applies there
     got2 = read_table(tmp_strawboat, arena=arena)
     assert got2.equals(fresh)
-    # second read recycled the first read's values buffers (aliasing
-    # contract; same-size buffers may swap owners within the arena)
-    addrs2 = {
-        got2.column(c).chunk(0).buffers()[1].address for c in ("a", "f")
-    }
-    assert addrs2 == addrs1
+    if arena_engaged:
+        # second read recycled the first read's values buffers (aliasing
+        # contract; same-size buffers may swap owners within the arena)
+        addrs2 = {
+            got2.column(c).chunk(0).buffers()[1].address for c in ("a", "f")
+        }
+        assert addrs2 == addrs1
 
     # a different-sized file through the same arena allocates fresh, still right
     small = pa.table({"a": pa.array(create_random_i64(PAGE_SIZE, 0.0))})
