@@ -195,20 +195,25 @@ class ResidentTable:
 def _column_packed_words(
     file_bytes: np.ndarray, meta: ColumnMeta, field: pa.Field, np_dtype
 ):
-    """Concatenate a column's uniform-width packed block words.
+    """One column → uniform-width packed block words (+ dicts for DICT pages).
 
-    Plain BITPACKING pages yield value words; DICT pages with BITPACKING
-    index subpages yield code words + per-page dictionaries.  Returns
-    (words, b, n_rows, dicts|None, page_rows).  Raises
-    NotYetImplementedError for anything else — resident loading is an
-    opt-in fast representation, never silently wrong.
+    Every page's values (or dict codes) decode to u32 host-side — the
+    native one-pass block walk handles mixed per-block widths — and the
+    whole column repacks ONCE (vectorized) at the global width, so the
+    resident layout is always a single uniform block stream regardless of
+    how the writer mixed widths across blocks/pages.  Returns
+    (words (n_blocks, b*4) u32, b, n_rows, dicts|None, page_rows).  Raises
+    NotYetImplementedError for layouts without a packed representation —
+    resident loading is an opt-in fast representation, never silently wrong.
     """
-    from .scan import _parse_uniform_bp_page
+    from .. import native
+    from ..util.bits import pack_blocks
 
+    if not native.available():
+        raise NotYetImplementedError("resident load needs the native runtime")
     nullable = bool(field.nullable)
-    parts = []
+    vals_parts = []
     dicts = None
-    b = None
     n_rows = 0
     page_rows = int(meta.pages[0].num_values) if meta.pages else 0
     pos = meta.offset
@@ -223,7 +228,8 @@ def _column_packed_words(
                 )
         if pi < len(meta.pages) - 1 and page.num_values != page_rows:
             raise OutOfSpecError("non-uniform page grid")
-        codec, _cs, _us, body = read_header(buf, p)
+        codec, csize, _us, body = read_header(buf, p)
+        n_blocks = (page.num_values + 127) // 128
         if codec == Compression.DICT:
             icodec, icsize, _ius, ibody = read_header(buf, body)
             if icodec != Compression.BITPACKING:
@@ -238,98 +244,59 @@ def _column_packed_words(
                     f"resident load: all-null dict page in {field.name!r}"
                 )
             dvals = np.frombuffer(buf, np_dtype, count, vpos + 4)
-            parsed = _parse_uniform_bp_page(buf, ibody, page.num_values)
-            if parsed is None:
-                raise NotYetImplementedError(
-                    f"resident load: column {field.name!r} has mixed index widths"
-                )
             if dicts is None:
-                if parts:
+                if vals_parts:
                     raise NotYetImplementedError(
                         f"resident load: column {field.name!r} mixes dict and "
                         "plain pages"
                     )
                 dicts = []
             dicts.append(dvals.astype(np.int32))
+            vals, _end = native.bp_decode(buf, ibody, n_blocks)
+            vals = vals[: page.num_values]
         elif codec == Compression.BITPACKING:
             if dicts is not None:
                 raise NotYetImplementedError(
                     f"resident load: column {field.name!r} mixes dict and "
                     "plain pages"
                 )
-            parsed = _parse_uniform_bp_page(buf, body, page.num_values)
-            if parsed is None:
-                raise NotYetImplementedError(
-                    f"resident load: column {field.name!r} has mixed block widths"
-                )
-        elif (
-            codec.raw_mode
-            and dicts is None
-            and pi == len(meta.pages) - 1
-        ):
-            # tail page shorter than a 128 multiple is BP-ineligible and
-            # falls back to a raw codec in the file; decode it host-side and
-            # repack at the column's width so the resident layout stays one
-            # uniform block stream
+            vals, _end = native.bp_decode(buf, body, n_blocks)
+            vals = vals[: page.num_values]
+        elif codec.raw_mode and dicts is None:
             from ..codecs.common import decompress
-            from ..util.bits import pack_block128
 
-            csize = _cs
             raw = decompress(
-                codec, buf[body : body + csize].tobytes(),
+                codec,
+                buf[body : body + csize].tobytes(),
                 page.num_values * np_dtype.itemsize,
             )
-            vals = np.frombuffer(raw, np_dtype, page.num_values).astype(
-                np.int64
-            )
-            if (vals < 0).any():
+            wide = np.frombuffer(raw, np_dtype, page.num_values).astype(np.int64)
+            if (wide < 0).any() or (len(wide) and int(wide.max()) >= 1 << 32):
                 raise NotYetImplementedError(
-                    f"resident load: negative values in tail of {field.name!r}"
+                    f"resident load: column {field.name!r} values exceed u32"
                 )
-            need = int(vals.max()).bit_length() if len(vals) else 1
-            if need > 32:
-                raise NotYetImplementedError(
-                    f"resident load: {field.name!r} values exceed 32 bits"
-                )
-            if b is None:
-                b = max(need, 1)
-            if need > b:
-                raise NotYetImplementedError(
-                    f"resident load: tail of {field.name!r} needs {need} bits "
-                    f"(column width {b})"
-                )
-            pad = (-len(vals)) % 128
-            vv = np.concatenate(
-                [vals.astype(np.uint32), np.zeros(pad, np.uint32)]
-            )
-            packed = b"".join(
-                pack_block128(vv[k : k + 128], b)
-                for k in range(0, len(vv), 128)
-            )
-            parsed = (
-                np.frombuffer(packed, np.uint32).reshape(-1, b * 4),
-                len(vv) // 128,
-                b,
-            )
+            vals = wide.astype(np.uint32)
         else:
             raise NotYetImplementedError(
                 f"resident load: column {field.name!r} page codec {codec!r} "
-                "(uniform BITPACKING / DICT-over-BITPACKING only)"
+                "(BITPACKING / DICT-over-BITPACKING / raw only)"
             )
-        words, _nb, pb = parsed
-        if b is None:
-            b = pb
-        elif pb != b:
-            raise NotYetImplementedError(
-                f"resident load: column {field.name!r} width varies across "
-                f"pages ({b} vs {pb})"
-            )
-        parts.append(words)
+        vals_parts.append(vals)
         n_rows += page.num_values
         pos += page.length
-    if not parts:
+    if not vals_parts:
         raise OutOfSpecError(f"column {field.name!r} has no pages")
-    return np.concatenate(parts), int(b), n_rows, dicts, page_rows
+    allv = np.concatenate(vals_parts)
+    b = max(int(allv.max()).bit_length(), 1) if allv.size else 1
+    if b > 32:
+        raise NotYetImplementedError(
+            f"resident load: {field.name!r} values exceed 32 bits"
+        )
+    pad = (-len(allv)) % 128
+    if pad:
+        allv = np.concatenate([allv, np.zeros(pad, np.uint32)])
+    words = pack_blocks(allv.reshape(-1, 128), b)
+    return words, b, n_rows, dicts, page_rows
 
 
 def load_resident(
