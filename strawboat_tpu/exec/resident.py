@@ -84,6 +84,9 @@ class ResidentTable:
     num_rows: int
     tile: int
 
+    def __post_init__(self):
+        self._jit_cache: Dict = {}
+
     def __getitem__(self, name: str) -> ResidentColumn:
         return self.columns[name]
 
@@ -125,6 +128,32 @@ class ResidentTable:
             out = c.dictionary[out + c.dict_bases[page]]
         return out
 
+    def _decode_in_trace(self, name: str, wt3, dictionary, bases):
+        """decode_tiled body over traced inputs (used inside fused jits)."""
+        import jax.numpy as jnp
+
+        from ..kernels.bitunpack_pallas import (
+            bitunpack_pallas_tiled_seeded,
+            tiled_rows_to_t,
+        )
+
+        c = self.columns[name]
+        out3 = bitunpack_pallas_tiled_seeded(wt3, jnp.uint32(0), c.num_bits)
+        inv = np.argsort(tiled_rows_to_t(c.num_bits))
+        if not np.array_equal(inv, np.arange(32)):
+            out3 = out3[:, jnp.asarray(inv), :]
+        out = out3.reshape(-1).astype(jnp.int32)
+        if dictionary is not None:
+            page = jnp.minimum(
+                self._nat(c) // c.page_rows, bases.shape[0] - 1
+            )
+            out = dictionary[out + bases[page]]
+        return out
+
+    def _col_args(self, name: str):
+        c = self.columns[name]
+        return (c.wt3, c.dictionary, c.dict_bases)
+
     def filter_sum(
         self,
         predicates: Dict[str, Tuple[Optional[int], Optional[int]]],
@@ -133,24 +162,54 @@ class ResidentTable:
     ):
         """sum(value [* product_with]) where every predicate col in [lo, hi).
 
-        The Q6 shape.  All decode + predicate + reduce happens over
-        tiled-order arrays in one fused computation; nothing is restored to
-        natural order.  Bounds are half-open; None = unbounded.
+        The Q6 shape.  Decode + predicate + reduce fuse into ONE jitted
+        call (cached per query shape; bound VALUES are traced, so changing
+        a constant does not recompile).  Nothing is restored to natural
+        order.  Bounds are half-open; None = unbounded.
         """
+        import jax
         import jax.numpy as jnp
 
-        vals = self.decode_tiled(value)
-        m = self.mask_tiled()
-        for col, (lo, hi) in predicates.items():
-            cv = self.decode_tiled(col)
-            if lo is not None:
-                m = m & (cv >= lo)
-            if hi is not None:
-                m = m & (cv < hi)
-        acc = vals
-        if product_with is not None:
-            acc = acc.astype(jnp.int64) * self.decode_tiled(product_with)
-        return jnp.sum(jnp.where(m, acc, 0), dtype=jnp.int64)
+        pcols = tuple(sorted(predicates))
+        flags = tuple(
+            (predicates[c][0] is not None, predicates[c][1] is not None)
+            for c in pcols
+        )
+        key = ("fs", pcols, flags, value, product_with)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            names = list(dict.fromkeys(pcols + (value,) + ((product_with,) if product_with else ())))
+
+            def impl(colargs, los, his):
+                cols = {
+                    n: self._decode_in_trace(n, *colargs[n]) for n in names
+                }
+                m = self.mask_tiled()
+                li = hi_i = 0
+                for cname, (has_lo, has_hi) in zip(pcols, flags):
+                    cv = cols[cname]
+                    if has_lo:
+                        m = m & (cv >= los[li]); li += 1
+                    if has_hi:
+                        m = m & (cv < his[hi_i]); hi_i += 1
+                acc = cols[value]
+                if product_with is not None:
+                    acc = acc.astype(jnp.int64) * cols[product_with]
+                return jnp.sum(jnp.where(m, acc, 0), dtype=jnp.int64)
+
+            fn = jax.jit(impl)
+            self._jit_cache[key] = fn
+        names = list(dict.fromkeys(pcols + (value,) + ((product_with,) if product_with else ())))
+        colargs = {n: self._col_args(n) for n in names}
+        los = jnp.asarray(
+            [predicates[c][0] for c in pcols if predicates[c][0] is not None],
+            dtype=jnp.int32,
+        )
+        his = jnp.asarray(
+            [predicates[c][1] for c in pcols if predicates[c][1] is not None],
+            dtype=jnp.int32,
+        )
+        return fn(colargs, los, his)
 
     def group_sum(
         self,
@@ -165,31 +224,57 @@ class ResidentTable:
         so results equal the natural-order aggregate exactly.
         """
         import jax
-
         import jax.numpy as jnp
 
-        k = self.decode_tiled(key)
-        m = self.mask_tiled()
-        if predicates:
-            for col, (lo, hi) in predicates.items():
-                cv = self.decode_tiled(col)
-                if lo is not None:
-                    m = m & (cv >= lo)
-                if hi is not None:
-                    m = m & (cv < hi)
-        k = jnp.where(m, k, num_groups)  # padding/filtered rows -> overflow bin
-        outs = []
-        for v in values:
-            vv = self.decode_tiled(v).astype(jnp.int64)
-            outs.append(
-                jax.ops.segment_sum(
-                    jnp.where(m, vv, 0), k, num_segments=num_groups + 1
+        predicates = predicates or {}
+        pcols = tuple(sorted(predicates))
+        flags = tuple(
+            (predicates[c][0] is not None, predicates[c][1] is not None)
+            for c in pcols
+        )
+        ck = ("gs", key, tuple(values), num_groups, pcols, flags)
+        fn = self._jit_cache.get(ck)
+        names = list(dict.fromkeys((key,) + tuple(values) + pcols))
+        if fn is None:
+
+            def impl(colargs, los, his):
+                cols = {
+                    n: self._decode_in_trace(n, *colargs[n]) for n in names
+                }
+                m = self.mask_tiled()
+                li = hi_i = 0
+                for cname, (has_lo, has_hi) in zip(pcols, flags):
+                    cv = cols[cname]
+                    if has_lo:
+                        m = m & (cv >= los[li]); li += 1
+                    if has_hi:
+                        m = m & (cv < his[hi_i]); hi_i += 1
+                k = jnp.where(m, cols[key], num_groups)
+                outs = []
+                for v in values:
+                    vv = cols[v].astype(jnp.int64)
+                    outs.append(
+                        jax.ops.segment_sum(
+                            jnp.where(m, vv, 0), k, num_segments=num_groups + 1
+                        )[:num_groups]
+                    )
+                cnt = jax.ops.segment_sum(
+                    m.astype(jnp.int64), k, num_segments=num_groups + 1
                 )[:num_groups]
-            )
-        cnt = jax.ops.segment_sum(
-            m.astype(jnp.int64), k, num_segments=num_groups + 1
-        )[:num_groups]
-        return outs, cnt
+                return outs, cnt
+
+            fn = jax.jit(impl)
+            self._jit_cache[ck] = fn
+        colargs = {n: self._col_args(n) for n in names}
+        los = jnp.asarray(
+            [predicates[c][0] for c in pcols if predicates[c][0] is not None],
+            dtype=jnp.int32,
+        )
+        his = jnp.asarray(
+            [predicates[c][1] for c in pcols if predicates[c][1] is not None],
+            dtype=jnp.int32,
+        )
+        return fn(colargs, los, his)
 
 
 def _column_packed_words(
