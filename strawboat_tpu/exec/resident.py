@@ -122,10 +122,15 @@ class ResidentTable:
             out3 = out3[:, jnp.asarray(inv), :]
         out = out3.reshape(-1).astype(jnp.int32)
         if c.dictionary is not None:
+            from ..kernels.decode import dict_gather_device
+
             page = jnp.minimum(
                 self._nat(c) // c.page_rows, c.dict_bases.shape[0] - 1
             )
-            out = c.dictionary[out + c.dict_bases[page]]
+            # plain XLA gathers are pathological on TPU (see kernels/gather);
+            # both lookups ride the MXU one-hot path
+            base = dict_gather_device(page, c.dict_bases)
+            out = dict_gather_device(out + base, c.dictionary)
         return out
 
     def _decode_in_trace(self, name: str, wt3, dictionary, bases):
@@ -144,10 +149,13 @@ class ResidentTable:
             out3 = out3[:, jnp.asarray(inv), :]
         out = out3.reshape(-1).astype(jnp.int32)
         if dictionary is not None:
+            from ..kernels.decode import dict_gather_device
+
             page = jnp.minimum(
                 self._nat(c) // c.page_rows, bases.shape[0] - 1
             )
-            out = dictionary[out + bases[page]]
+            base = dict_gather_device(page, bases)
+            out = dict_gather_device(out + base, dictionary)
         return out
 
     def _col_args(self, name: str):
