@@ -99,12 +99,17 @@ def _read_dict_column_batched(
     all_dict = np.concatenate(dicts) if len(dicts) > 1 else dicts[0]
     codes = np.empty(n_rows, dtype=np.int64)
     row = 0
-    for (num_values, buf, ibody, _d, is_delta), base in zip(dict_jobs, bases):
-        n_blocks = (num_values + 127) // 128
-        vals, _end = native.bp_decode(buf, ibody, n_blocks)
-        vals = vals[:num_values]
-        if is_delta:  # sequential deltas, whole-page carry (delta_bp.rs)
-            vals = np.cumsum(vals, dtype=np.uint32)
+    for (num_values, buf, ibody, _d, (is_delta, raw_idx)), base in zip(
+        dict_jobs, bases
+    ):
+        if raw_idx is not None:
+            vals = raw_idx[:num_values]
+        else:
+            n_blocks = (num_values + 127) // 128
+            vals, _end = native.bp_decode(buf, ibody, n_blocks)
+            vals = vals[:num_values]
+            if is_delta:  # sequential deltas, whole-page carry (delta_bp.rs)
+                vals = np.cumsum(vals, dtype=np.uint32)
         np.add(vals, base, out=codes[row : row + num_values])
         row += num_values
     try:
@@ -185,7 +190,18 @@ def read_binary_column_fast(
         if codec != Compression.DICT:
             return None
         icodec, icsize, _ius, ibody = read_header(buf, body)
-        if icodec not in (Compression.BITPACKING, Compression.DELTA_BITPACKING):
+        if icodec in (Compression.BITPACKING, Compression.DELTA_BITPACKING):
+            idx_spec = (icodec == Compression.DELTA_BITPACKING, None)
+        elif icodec.raw_mode:
+            from ..codecs.common import decompress
+
+            raw = decompress(
+                icodec,
+                buf[ibody : ibody + icsize].tobytes(),
+                page.num_values * 4,
+            )
+            idx_spec = (False, np.frombuffer(raw, np.uint32))
+        else:
             return None
         vpos = ibody + icsize
         count = int(np.frombuffer(buf, "<u4", 1, vpos)[0])
@@ -197,7 +213,7 @@ def read_binary_column_fast(
                 buf,
                 ibody,
                 _parse_dict_sets(buf, vpos + 4, count),
-                icodec == Compression.DELTA_BITPACKING,
+                idx_spec,
             )
         )
         pos = page_end
@@ -210,12 +226,17 @@ def read_binary_column_fast(
     all_dict = pa.concat_arrays(dicts) if len(dicts) > 1 else dicts[0]
     codes = np.empty(n_rows, dtype=np.int64)
     row = 0
-    for (num_values, buf, ibody, _d, is_delta), base in zip(jobs, bases):
-        n_blocks = (num_values + 127) // 128
-        vals, _end = native.bp_decode(buf, ibody, n_blocks)
-        vals = vals[:num_values]
-        if is_delta:
-            vals = np.cumsum(vals, dtype=np.uint32)
+    for (num_values, buf, ibody, _d, (is_delta, raw_idx)), base in zip(
+        jobs, bases
+    ):
+        if raw_idx is not None:
+            vals = raw_idx[:num_values]
+        else:
+            n_blocks = (num_values + 127) // 128
+            vals, _end = native.bp_decode(buf, ibody, n_blocks)
+            vals = vals[:num_values]
+            if is_delta:
+                vals = np.cumsum(vals, dtype=np.uint32)
         np.add(vals, base, out=codes[row : row + num_values])
         row += num_values
     mask = None
@@ -268,10 +289,23 @@ def read_column_fast(
             # columns) — decode the bitpacked index subpage in one native
             # pass per page and defer ONE global gather for the column
             icodec, icsize, _ius, ibody = read_header(buf, body)
-            if icodec not in (
+            if icodec in (
                 Compression.BITPACKING,
                 Compression.DELTA_BITPACKING,
             ):
+                idx_spec = (icodec == Compression.DELTA_BITPACKING, None)
+            elif icodec.raw_mode:
+                # short tail pages are BP-ineligible; their u32 indices ride
+                # a raw codec — decompress inline (one small page)
+                from ..codecs.common import decompress
+
+                raw = decompress(
+                    icodec,
+                    buf[ibody : ibody + icsize].tobytes(),
+                    page.num_values * 4,
+                )
+                idx_spec = (False, np.frombuffer(raw, np.uint32))
+            else:
                 return None
             vpos = ibody + icsize
             count = int(np.frombuffer(buf, "<u4", 1, vpos)[0])
@@ -279,13 +313,7 @@ def read_column_fast(
                 return None  # all-null page: let the general reader handle
             dvals = np.frombuffer(buf, np_dtype, count, vpos + 4)
             dict_jobs.append(
-                (
-                    page.num_values,
-                    buf,
-                    ibody,
-                    dvals,
-                    icodec == Compression.DELTA_BITPACKING,
-                )
+                (page.num_values, buf, ibody, dvals, idx_spec)
             )
             pos = page_end
             continue
