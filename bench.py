@@ -616,14 +616,15 @@ def bench_bitunpack():
     # roofline are DISCARDED rather than allowed to zero the headline; if
     # every round glitches, fall back to the conservative whole-run rate
     # (t_big/n_big includes dispatch overhead → underestimates, never fakes).
-    n_small, n_big = 4, 36
     dt_floor = moved / (1.2 * HBM_GBPS * 1e9)  # faster than this is noise
     plausible = []
     best_big = float("inf")
-    for _ in range(6):
+    best_nbig = 36
+    for n_small, n_big in ((4, 36), (6, 54)) * 4:
         t_small = min(once(n_small) for _ in range(2))
         t_big = min(once(n_big) for _ in range(2))
-        best_big = min(best_big, t_big)
+        if t_big / n_big < best_big / best_nbig:
+            best_big, best_nbig = t_big, n_big
         d = (t_big - t_small) / (n_big - n_small)
         if d >= dt_floor:
             plausible.append(d)
@@ -631,7 +632,7 @@ def bench_bitunpack():
     if plausible:
         dt = min(plausible)
     else:
-        dt = max(best_big / n_big, 1e-9)
+        dt = max(best_big / best_nbig, 1e-9)
         extra["note"] = "differencing glitched; conservative whole-run rate"
     gbps = moved / dt / 1e9
     if gbps > 1.2 * HBM_GBPS:
