@@ -1,23 +1,28 @@
 """Headline benchmarks — one JSON line per metric (BASELINE configs).
 
-Metrics:
-  1. e2e_scan_bandwidth     — config 1: non-nullable Int64, LZ4 pages, file
-                              bytes on host → decoded column in HBM.
-                              vs_baseline = ours / pyarrow parquet-C++ read
-                              of the same data (the reference's own A/B:
-                              examples/strawboat_read.rs vs parquet_read.rs).
-  2. tpch_sf1_scan_rows_per_s — config 4: TPC-H lineitem SF1 multi-column
-                              scan + Q6 predicate, no pruning (warm).
-  3. tpch_sf1_pruned_speedup  — same scan with zone-map page pruning;
-                              value = unpruned_time / pruned_time.
-  4. tpch_q1_latency_ms     — full Q1 (8 aggregates, utf8 keys) on the MXU
-                              dense path, warm, device table resident.
-                              vs_baseline = numpy single-core time / ours.
-  5. tpch_q6_latency_ms     — Q6 predicate + sum, warm.
-                              vs_baseline = numpy time / ours.
-  6. bitpack_decode_bandwidth — on-device bitpacked page decode (pallas),
-                              vs_baseline = achieved / (0.8 × HBM roofline).
-                              LAST line = the headline decode metric.
+Metrics (in print order; the HEADLINE is computed first, printed last):
+  host_read_bandwidth          — config 1 host read A/B vs pyarrow
+                                 parquet-C++ (the reference's own A/B:
+                                 strawboat_read.rs vs parquet_read.rs)
+  host_read_bandwidth_recycled — same with ReadArena buffer recycling
+                                 (reference swap_buffer semantics)
+  write_throughput             — config 1 write A/B vs parquet-C++
+  e2e_scan_bandwidth           — config 1 file → decoded column in HBM
+                                 (includes the axon relay tunnel on this box)
+  tpch_sf1_host_scan_rows_per_s— SF1 Q6-columns read + numpy Q6 vs the same
+                                 pipeline over parquet (host-only A/B)
+  tpch_sf1_scan_rows_per_s     — config 4: scan → HBM + Q6, no pruning
+  tpch_sf1_pruned_speedup      — same with zone-map page pruning
+  tpch_q1_latency_ms           — full Q1 (8 aggs, utf8 keys), MXU dense path
+  tpch_q6_latency_ms           — Q6 warm, with compute/fetch-floor split
+  resident_scan_bandwidth      — HBM-resident packed pages → decode + filter
+                                 + sum, natural row order
+  resident_scan_bandwidth_tiled— same consumed in kernel-tiled order
+                                 (order-invariant consumers skip the restore)
+  bitpack_decode_bandwidth     — HEADLINE: seeded pallas bitunpack,
+                                 moved = input + output bytes exactly,
+                                 vs_baseline = achieved / (0.8 × HBM
+                                 roofline).  LAST line.
 
 Measurement notes: this box reaches the TPU through the axon relay, where
 ``block_until_ready`` can return before execution and host fetches stall;
