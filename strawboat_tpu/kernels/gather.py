@@ -20,11 +20,18 @@ MAX_MXU_TABLE = 8192
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def mxu_gather(table: jax.Array, ids: jax.Array, chunk: int = 1 << 15) -> jax.Array:
-    """out[i] = table[ids[i]] via plane-split one-hot matmuls (exact)."""
+def mxu_gather(table: jax.Array, ids: jax.Array, chunk: int = 0) -> jax.Array:
+    """out[i] = table[ids[i]] via plane-split one-hot matmuls (exact).
+
+    ``chunk`` 0 picks a size so the scan step's one-hot tile stays ~8 MB:
+    tiny tables (dict pages are usually < 100 entries) take far larger
+    chunks — fewer sequential scan steps, better MXU utilization."""
     out_dtype = table.dtype
     width = table.dtype.itemsize
     assert width in (4, 8)
+    if chunk == 0:
+        R0 = max(int(table.shape[0]), 1)
+        chunk = max(1 << 13, min(1 << 18, (8 << 20) // (4 * R0)))
     udt = jnp.uint64 if width == 8 else jnp.uint32
     tbits = jax.lax.bitcast_convert_type(table, udt)
     n = ids.shape[0]
