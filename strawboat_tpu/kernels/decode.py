@@ -106,6 +106,28 @@ def bitunpack_flat_device(words: jax.Array, num_bits: int) -> jax.Array:
     return ((vals | hi_part) & mask).reshape(-1)
 
 
+_NATURAL_OK = None  # memoized: does Mosaic lower the in-VMEM natural kernel?
+
+
+def _natural_kernel_supported() -> bool:
+    """One tiny probe per process — a FAILED Mosaic compile is not cached by
+    jax, so retrying per scan call would pay the (remote) compile failure
+    every time."""
+    global _NATURAL_OK
+    if _NATURAL_OK is None:
+        try:
+            from .bitunpack_pallas import bitunpack_pallas_tiled_natural
+
+            probe = jnp.zeros((1, 16, 512), jnp.uint32)
+            bitunpack_pallas_tiled_natural(
+                probe, jnp.uint32(0), 16
+            ).block_until_ready()
+            _NATURAL_OK = True
+        except Exception:
+            _NATURAL_OK = False
+    return _NATURAL_OK
+
+
 def bitunpack_natural_device(words: np.ndarray, num_bits: int) -> jax.Array:
     """Fast natural-order unpack of uniform-width blocks from HOST words.
 
@@ -138,7 +160,7 @@ def bitunpack_natural_device(words: np.ndarray, num_bits: int) -> jax.Array:
             wt3 = transpose_words_device_tiled(
                 jnp.asarray(words.reshape(-1)), b, tile
             )
-            if 32 % b == 0:
+            if 32 % b == 0 and _natural_kernel_supported():
                 try:
                     # divisor widths: reorder to natural order INSIDE the
                     # kernel (VMEM) when Mosaic supports the shape cast —
