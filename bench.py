@@ -635,7 +635,10 @@ def bench_bitunpack():
             plausible.append(d)
     extra = {}
     if plausible:
-        dt = min(plausible)
+        # median, not min: the differencing noise is ~±10% and min-of-rounds
+        # systematically picks the luckiest diff (one run read 99% of peak
+        # HBM — not a believable streaming rate)
+        dt = float(np.median(np.asarray(plausible)))
     else:
         dt = max(best_big / best_nbig, 1e-9)
         extra["note"] = "differencing glitched; conservative whole-run rate"
