@@ -281,3 +281,58 @@ def test_compact_dataset_roundtrip(tmp_path):
     # compacted part carries fresh zones: pruning still works
     preds = [Comparison("a", "ge", 10**9)]
     assert not file_may_match(out[0], preds)
+
+
+def test_query_join_against_dataset_glob(tmp_path):
+    """Query.join accepts a glob build side (dataset scan under the hood)."""
+    from strawboat_tpu.exec import Query, col
+
+    rng = np.random.default_rng(0)
+    n = 600
+    fact = pa.table(
+        {
+            "fk": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+            "v": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+        }
+    )
+    fpath = str(tmp_path / "fact.str")
+    write_file(fpath, fact, options=OPTS)
+    # dim table split over two part files
+    dim1 = pa.table(
+        {
+            "dk": pa.array(np.arange(0, 20, dtype=np.int64)),
+            "w": pa.array((np.arange(0, 20) * 10).astype(np.int64)),
+        }
+    )
+    dim2 = pa.table(
+        {
+            "dk": pa.array(np.arange(20, 40, dtype=np.int64)),
+            "w": pa.array((np.arange(20, 40) * 10).astype(np.int64)),
+        }
+    )
+    write_file(str(tmp_path / "dim-0.str"), dim1, options=OPTS)
+    write_file(str(tmp_path / "dim-1.str"), dim2, options=OPTS)
+
+    res = (
+        Query(fpath)
+        .join(str(tmp_path / "dim-*.str"), on=("fk", "dk"))
+        .group_by("w", num_groups=64)
+        .agg(total=("sum", "v"))
+        .run()
+    )
+    ng = int(res["n_groups"])
+    got = dict(
+        zip(
+            np.asarray(res["key_w"])[:ng].tolist(),
+            np.asarray(res["total"])[:ng].tolist(),
+        )
+    )
+    fk = fact.column("fk").to_numpy()
+    v = fact.column("v").to_numpy()
+    w_of = np.concatenate([dim1.column("w").to_numpy(), dim2.column("w").to_numpy()])
+    import collections
+
+    exp = collections.defaultdict(int)
+    for k, val in zip(fk, v):
+        exp[int(w_of[k])] += int(val)
+    assert got == dict(exp)
