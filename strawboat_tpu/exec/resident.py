@@ -92,6 +92,27 @@ class ResidentTable:
 
     def __post_init__(self):
         self._jit_cache: Dict = {}
+        self._bounds_cache: Dict = {}
+
+    def _bounds(self, predicates, pcols):
+        """Device arrays for the lo/hi literals, cached by value — each
+        fresh host→device transfer costs a relay round trip on this box."""
+        import jax.numpy as jnp
+
+        key = tuple(predicates[c] for c in pcols)
+        hit = self._bounds_cache.get(key)
+        if hit is None:
+            los = jnp.asarray(
+                [predicates[c][0] for c in pcols if predicates[c][0] is not None],
+                dtype=jnp.int32,
+            )
+            his = jnp.asarray(
+                [predicates[c][1] for c in pcols if predicates[c][1] is not None],
+                dtype=jnp.int32,
+            )
+            hit = (los, his)
+            self._bounds_cache[key] = hit
+        return hit
 
     def __getitem__(self, name: str) -> ResidentColumn:
         return self.columns[name]
@@ -215,14 +236,7 @@ class ResidentTable:
             self._jit_cache[key] = fn
         names = list(dict.fromkeys(pcols + (value,) + ((product_with,) if product_with else ())))
         colargs = {n: self._col_args(n) for n in names}
-        los = jnp.asarray(
-            [predicates[c][0] for c in pcols if predicates[c][0] is not None],
-            dtype=jnp.int32,
-        )
-        his = jnp.asarray(
-            [predicates[c][1] for c in pcols if predicates[c][1] is not None],
-            dtype=jnp.int32,
-        )
+        los, his = self._bounds(predicates, pcols)
         return fn(colargs, los, his)
 
     def group_sum(
@@ -280,14 +294,7 @@ class ResidentTable:
             fn = jax.jit(impl)
             self._jit_cache[ck] = fn
         colargs = {n: self._col_args(n) for n in names}
-        los = jnp.asarray(
-            [predicates[c][0] for c in pcols if predicates[c][0] is not None],
-            dtype=jnp.int32,
-        )
-        his = jnp.asarray(
-            [predicates[c][1] for c in pcols if predicates[c][1] is not None],
-            dtype=jnp.int32,
-        )
+        los, his = self._bounds(predicates, pcols)
         return fn(colargs, los, his)
 
 
