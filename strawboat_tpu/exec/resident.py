@@ -66,6 +66,25 @@ class ResidentColumn:
         return n_tiles * tile * 32
 
 
+def _rows_to_t_major(out3, b: int):
+    """Plane-kernel rows (p*b + j order for divisor widths) → t-major rows.
+
+    Divisor widths: the row permutation IS a (P, b) transpose — pure
+    reshape/transpose with contiguous 64 KB tile-lane runs (an axis-1
+    GATHER here lowers to a pathological general gather on TPU; the
+    transpose streams).  Non-divisor widths already come out t-major.
+    """
+    import jax.numpy as jnp
+
+    if 32 % b != 0 or b == 32:
+        return out3
+    n_tiles, rows, tile = out3.shape
+    P = 32 // b
+    return jnp.transpose(
+        out3.reshape(n_tiles, P, b, tile), (0, 2, 1, 3)
+    ).reshape(n_tiles, 32, tile)
+
+
 def _natural_index_tiled(n_tiles: int, tile: int):
     """Natural row index of every tiled slot, as fused iota arithmetic.
 
@@ -132,21 +151,11 @@ class ResidentTable:
         """Column values in tiled order (int32), padding slots included."""
         import jax.numpy as jnp
 
-        from ..kernels.bitunpack_pallas import (
-            bitunpack_pallas_tiled_seeded,
-            tiled_rows_to_t,
-        )
+        from ..kernels.bitunpack_pallas import bitunpack_pallas_tiled_seeded
 
         c = self.columns[name]
         out3 = bitunpack_pallas_tiled_seeded(c.wt3, jnp.uint32(0), c.num_bits)
-        # plane-kernel rows come out in (p, j) order which DEPENDS on the
-        # width; reorder rows to t-major so every column shares the same
-        # slot→row mapping.  Rows are tile-lane contiguous (64 KB), so this
-        # is a coarse-grained copy — nothing like the 16-byte lane
-        # interleave the natural-order restore would pay.
-        inv = np.argsort(tiled_rows_to_t(c.num_bits))
-        if not np.array_equal(inv, np.arange(32)):
-            out3 = out3[:, jnp.asarray(inv), :]
+        out3 = _rows_to_t_major(out3, c.num_bits)
         out = out3.reshape(-1).astype(jnp.int32)
         if c.dictionary is not None:
             from ..kernels.decode import dict_gather_device
@@ -164,16 +173,11 @@ class ResidentTable:
         """decode_tiled body over traced inputs (used inside fused jits)."""
         import jax.numpy as jnp
 
-        from ..kernels.bitunpack_pallas import (
-            bitunpack_pallas_tiled_seeded,
-            tiled_rows_to_t,
-        )
+        from ..kernels.bitunpack_pallas import bitunpack_pallas_tiled_seeded
 
         c = self.columns[name]
         out3 = bitunpack_pallas_tiled_seeded(wt3, jnp.uint32(0), c.num_bits)
-        inv = np.argsort(tiled_rows_to_t(c.num_bits))
-        if not np.array_equal(inv, np.arange(32)):
-            out3 = out3[:, jnp.asarray(inv), :]
+        out3 = _rows_to_t_major(out3, c.num_bits)
         out = out3.reshape(-1).astype(jnp.int32)
         if dictionary is not None:
             from ..kernels.decode import dict_gather_device
