@@ -81,6 +81,60 @@ def main():
         flush=True,
     )
 
+    # split: dispatch+device vs fetch
+    def q6_arr():
+        return rt.filter_sum(
+            {"sd": (731, 1096), "disc": (5, 8), "qty": (None, 24)},
+            value="ep",
+            product_with="disc",
+        )
+
+    t0 = time.perf_counter()
+    arr = q6_arr()
+    arr.block_until_ready()
+    t_disp = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    int(arr)
+    t_fetch = time.perf_counter() - t0
+    print(
+        f"split: dispatch+block {t_disp*1e3:.1f} ms, fetch {t_fetch*1e3:.1f} ms",
+        flush=True,
+    )
+    # loop-differenced device-only time (one dispatch, N executions)
+    import jax
+    import jax.numpy as jnp
+
+    names = ["sd", "disc", "qty", "ep"]
+    colargs = {nm: rt._col_args(nm) for nm in names}
+
+    @jax.jit
+    def loop(colargs, k):
+        def body(i, acc):
+            cols = {
+                nm: rt._decode_in_trace(nm, *colargs[nm]) for nm in names
+            }
+            m = rt.mask_tiled()
+            m = m & (cols["sd"] >= 731 + (acc & 1).astype(jnp.int32))
+            m = m & (cols["sd"] < 1096) & (cols["disc"] >= 5)
+            m = m & (cols["disc"] < 8) & (cols["qty"] < 24)
+            prod = cols["ep"].astype(jnp.int64) * cols["disc"]
+            return acc + jnp.sum(jnp.where(m, prod, 0), dtype=jnp.int64)
+
+        return jax.lax.fori_loop(0, k, body, jnp.int64(0))
+
+    float(loop(colargs, 1))
+
+    def once(k):
+        t0 = time.perf_counter()
+        float(loop(colargs, k))
+        return time.perf_counter() - t0
+
+    d = min(
+        (min(once(10) for _ in range(2)) - min(once(2) for _ in range(2))) / 8
+        for _ in range(3)
+    )
+    print(f"device-only per-iter (loop diff): {d*1e3:.2f} ms", flush=True)
+
 
 if __name__ == "__main__":
     main()
