@@ -16,7 +16,7 @@ bit width — so every column loaded with the same row count and tile size
 is row-aligned in tiled order, and cross-column predicates/aggregations
 are exact.  The natural row index of every tiled slot is pure arithmetic
 on the slot index (no stored permutation): padding masks and per-page
-dictionary bases compute on the fly and fuse into the consumers.
+padding masks compute on the fly and fuse into the consumers.
 
 Measured (v5e, 8.4M rows x 4 columns, Q6 shape): plain bitpacked columns
 decode+filter+reduce at kernel speed; DICT columns currently pay the
@@ -54,11 +54,12 @@ class ResidentColumn:
     wt3: "object"  # (n_tiles, b, tile) u32 packed words (values or codes)
     num_bits: int
     length: int  # true row count (tiled slots beyond are padding)
-    # dict columns only: concatenated per-page dictionary values (device
-    # i32) and per-page base offsets into it
-    dictionary: "object" = None
-    dict_bases: "object" = None
-    page_rows: int = 0  # uniform rows per page (dict base lookup)
+    # dict columns only: GLOBAL SORTED dictionary (codes remapped at load).
+    # Sortedness is the point: a value-range predicate becomes a CODE-range
+    # predicate (host searchsorted) — filters never gather at all; only
+    # sums over the dict column pay one small MXU gather.
+    dictionary: "object" = None  # device i32
+    dictionary_host: "object" = None  # np i64 (bound translation)
 
     @property
     def tiled_slots(self) -> int:
@@ -113,23 +114,42 @@ class ResidentTable:
         self._jit_cache: Dict = {}
         self._bounds_cache: Dict = {}
 
+    def _code_bounds(self, col: str, lo, hi):
+        """Translate VALUE bounds to CODE bounds for sorted-dict columns.
+
+        The global dictionary is sorted, so [lo, hi) over values equals
+        [searchsorted(lo), searchsorted(hi)) over codes — the filter needs
+        no dictionary gather at all.
+        """
+        c = self.columns[col]
+        if c.dictionary_host is None:
+            return lo, hi, False
+        d = c.dictionary_host
+        lo_c = None if lo is None else int(np.searchsorted(d, lo, "left"))
+        hi_c = None if hi is None else int(np.searchsorted(d, hi, "left"))
+        return lo_c, hi_c, True
+
     def _bounds(self, predicates, pcols):
-        """Device arrays for the lo/hi literals, cached by value — each
-        fresh host→device transfer costs a relay round trip on this box."""
+        """Device arrays for the lo/hi literals (code-space for dict
+        columns), cached by value — each fresh host→device transfer costs a
+        relay round trip on this box."""
         import jax.numpy as jnp
 
-        key = tuple(predicates[c] for c in pcols)
+        key = tuple((c,) + tuple(predicates[c]) for c in pcols)
         hit = self._bounds_cache.get(key)
         if hit is None:
-            los = jnp.asarray(
-                [predicates[c][0] for c in pcols if predicates[c][0] is not None],
-                dtype=jnp.int32,
+            los, his = [], []
+            for c in pcols:
+                lo, hi = predicates[c]
+                lo, hi, _is_code = self._code_bounds(c, lo, hi)
+                if predicates[c][0] is not None:
+                    los.append(lo)
+                if predicates[c][1] is not None:
+                    his.append(hi)
+            hit = (
+                jnp.asarray(los, dtype=jnp.int32),
+                jnp.asarray(his, dtype=jnp.int32),
             )
-            his = jnp.asarray(
-                [predicates[c][1] for c in pcols if predicates[c][1] is not None],
-                dtype=jnp.int32,
-            )
-            hit = (los, his)
             self._bounds_cache[key] = hit
         return hit
 
@@ -160,16 +180,12 @@ class ResidentTable:
         if c.dictionary is not None:
             from ..kernels.decode import dict_gather_device
 
-            page = jnp.minimum(
-                self._nat(c) // c.page_rows, c.dict_bases.shape[0] - 1
-            )
-            # plain XLA gathers are pathological on TPU (see kernels/gather);
-            # both lookups ride the MXU one-hot path
-            base = dict_gather_device(page, c.dict_bases)
-            out = dict_gather_device(out + base, c.dictionary)
+            # plain XLA gathers are pathological on TPU (kernels/gather);
+            # the dictionary lookup rides the MXU one-hot path
+            out = dict_gather_device(out, c.dictionary)
         return out
 
-    def _decode_in_trace(self, name: str, wt3, dictionary, bases):
+    def _decode_in_trace(self, name: str, wt3, dictionary):
         """decode_tiled body over traced inputs (used inside fused jits)."""
         import jax.numpy as jnp
 
@@ -182,16 +198,12 @@ class ResidentTable:
         if dictionary is not None:
             from ..kernels.decode import dict_gather_device
 
-            page = jnp.minimum(
-                self._nat(c) // c.page_rows, bases.shape[0] - 1
-            )
-            base = dict_gather_device(page, bases)
-            out = dict_gather_device(out + base, dictionary)
+            out = dict_gather_device(out, dictionary)
         return out
 
     def _col_args(self, name: str):
         c = self.columns[name]
-        return (c.wt3, c.dictionary, c.dict_bases)
+        return (c.wt3, c.dictionary)
 
     def filter_sum(
         self,
@@ -219,14 +231,23 @@ class ResidentTable:
         if fn is None:
             names = list(dict.fromkeys(pcols + (value,) + ((product_with,) if product_with else ())))
 
+            value_cols = {value} | ({product_with} if product_with else set())
+
             def impl(colargs, los, his):
-                cols = {
-                    n: self._decode_in_trace(n, *colargs[n]) for n in names
-                }
+                # predicate-only columns stay in CODE space (no gather);
+                # summed columns decode through the dictionary
+                cols = {}
+                codes = {}
+                for n in names:
+                    wt3, dictionary = colargs[n]
+                    if n in value_cols:
+                        cols[n] = self._decode_in_trace(n, wt3, dictionary)
+                    if n in pcols:
+                        codes[n] = self._decode_in_trace(n, wt3, None)
                 m = self.mask_tiled()
                 li = hi_i = 0
                 for cname, (has_lo, has_hi) in zip(pcols, flags):
-                    cv = cols[cname]
+                    cv = codes[cname]
                     if has_lo:
                         m = m & (cv >= los[li]); li += 1
                     if has_hi:
@@ -269,14 +290,21 @@ class ResidentTable:
         names = list(dict.fromkeys((key,) + tuple(values) + pcols))
         if fn is None:
 
+            value_cols = {key} | set(values)
+
             def impl(colargs, los, his):
-                cols = {
-                    n: self._decode_in_trace(n, *colargs[n]) for n in names
-                }
+                cols = {}
+                codes = {}
+                for n in names:
+                    wt3, dictionary = colargs[n]
+                    if n in value_cols:
+                        cols[n] = self._decode_in_trace(n, wt3, dictionary)
+                    if n in pcols:
+                        codes[n] = self._decode_in_trace(n, wt3, None)
                 m = self.mask_tiled()
                 li = hi_i = 0
                 for cname, (has_lo, has_hi) in zip(pcols, flags):
-                    cv = cols[cname]
+                    cv = codes[cname]
                     if has_lo:
                         m = m & (cv >= los[li]); li += 1
                     if has_hi:
@@ -312,7 +340,7 @@ def _column_packed_words(
     whole column repacks ONCE (vectorized) at the global width, so the
     resident layout is always a single uniform block stream regardless of
     how the writer mixed widths across blocks/pages.  Returns
-    (words (n_blocks, b*4) u32, b, n_rows, dicts|None, page_rows).  Raises
+    (words (n_blocks, b*4) u32, b, n_rows, sorted_global_dict|None).  Raises
     NotYetImplementedError for layouts without a packed representation —
     resident loading is an opt-in fast representation, never silently wrong.
     """
@@ -396,6 +424,16 @@ def _column_packed_words(
         pos += page.length
     if not vals_parts:
         raise OutOfSpecError(f"column {field.name!r} has no pages")
+    gdict = None
+    if dicts is not None:
+        # GLOBAL SORTED dictionary: page codes remap through
+        # searchsorted(gdict, page_dict) — sortedness turns value-range
+        # predicates into code-range predicates at query time
+        gdict = np.unique(np.concatenate(dicts))
+        vals_parts = [
+            np.searchsorted(gdict, d)[v.astype(np.int64)].astype(np.uint32)
+            for v, d in zip(vals_parts, dicts)
+        ]
     allv = np.concatenate(vals_parts)
     b = max(int(allv.max()).bit_length(), 1) if allv.size else 1
     if b > 32:
@@ -406,7 +444,7 @@ def _column_packed_words(
     if pad:
         allv = np.concatenate([allv, np.zeros(pad, np.uint32)])
     words = pack_blocks(allv.reshape(-1, 128), b)
-    return words, b, n_rows, dicts, page_rows
+    return words, b, n_rows, gdict
 
 
 def load_resident(
@@ -444,19 +482,16 @@ def load_resident(
             raise NotYetImplementedError(
                 f"resident load of non-integer column {field.name!r}"
             )
-        words, b, rows, dicts, page_rows = _column_packed_words(
+        words, b, rows, gdict = _column_packed_words(
             file_bytes, meta, field, np_dtype
         )
         wt3 = jnp.asarray(transpose_words_host_tiled(words.reshape(-1), b, tile))
-        dictionary = bases = None
-        if dicts is not None:
-            lens = np.asarray([len(d) for d in dicts], dtype=np.int32)
-            basev = np.zeros(len(dicts), dtype=np.int32)
-            basev[1:] = np.cumsum(lens[:-1])
-            dictionary = jnp.asarray(np.concatenate(dicts))
-            bases = jnp.asarray(basev)
+        dictionary = dict_host = None
+        if gdict is not None:
+            dictionary = jnp.asarray(gdict.astype(np.int32))
+            dict_host = gdict.astype(np.int64)
         col = ResidentColumn(
-            field.name, wt3, b, rows, dictionary, bases, page_rows
+            field.name, wt3, b, rows, dictionary, dict_host
         )
         if n_rows is None:
             n_rows = rows
