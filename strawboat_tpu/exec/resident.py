@@ -18,11 +18,9 @@ are exact.  The natural row index of every tiled slot is pure arithmetic
 on the slot index (no stored permutation): padding masks and per-page
 padding masks compute on the fly and fuse into the consumers.
 
-Measured (v5e, 8.4M rows x 4 columns, Q6 shape): plain bitpacked columns
-decode+filter+reduce at kernel speed; DICT columns currently pay the
-chunked MXU one-hot gather (~1k sequential 32k-id steps at this size) —
-fused warm Q6 158 ms through the relay.  Known tuning: larger gather
-chunks / load-time global-dict remap would cut the dict path further.
+Measured (v5e, 8.4M rows x 4 columns incl. 2 dict columns, Q6 shape):
+fused warm Q6 = 29 ms through the axon relay, of which ~25 ms is the
+relay's scalar-fetch floor (289 Mrows/s; 3.4x compression held in HBM).
 
 Capability note vs the reference: the reference decodes to host memory and
 has no resident representation (src/read/batch_read.rs); this is the
