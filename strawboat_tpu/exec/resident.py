@@ -407,9 +407,9 @@ def _column_packed_words(
                 page.num_values * np_dtype.itemsize,
             )
             wide = np.frombuffer(raw, np_dtype, page.num_values).astype(np.int64)
-            if (wide < 0).any() or (len(wide) and int(wide.max()) >= 1 << 32):
+            if (wide < 0).any() or (len(wide) and int(wide.max()) >= 1 << 31):
                 raise NotYetImplementedError(
-                    f"resident load: column {field.name!r} values exceed u32"
+                    f"resident load: column {field.name!r} values exceed i32"
                 )
             vals = wide.astype(np.uint32)
         else:
@@ -434,9 +434,11 @@ def _column_packed_words(
         ]
     allv = np.concatenate(vals_parts)
     b = max(int(allv.max()).bit_length(), 1) if allv.size else 1
-    if b > 32:
+    if b > 31:
+        # decoded values ride as int32 in the query ops; a 32-bit value
+        # would wrap negative and silently corrupt comparisons
         raise NotYetImplementedError(
-            f"resident load: {field.name!r} values exceed 32 bits"
+            f"resident load: {field.name!r} values exceed 31 bits"
         )
     pad = (-len(allv)) % 128
     if pad:

@@ -153,3 +153,26 @@ def test_resident_partial_tail_page(tmp_path, interp_pallas):
     assert rt.num_rows == n
     got = int(rt.filter_sum({}, value="v"))
     assert got == int(v.astype(np.int64).sum())
+
+
+def test_resident_rejects_values_wider_than_i31(tmp_path, interp_pallas):
+    """u32 values >= 2^31 would wrap negative as int32 — must raise."""
+    from strawboat_tpu.exec.resident import load_resident
+
+    v = np.full(256, (1 << 31) + 5, dtype=np.int64)
+    t = pa.table(
+        {"v": pa.array(v)},
+        schema=pa.schema([pa.field("v", pa.int64(), nullable=False)]),
+    )
+    p = str(tmp_path / "wide31.str")
+    write_file(
+        p,
+        t,
+        options=WriteOptions(
+            default_compression=Compression.LZ4,
+            default_compress_ratio=None,
+            max_page_size=256,
+        ),
+    )
+    with pytest.raises(NotYetImplementedError):
+        load_resident(p)
