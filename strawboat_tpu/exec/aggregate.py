@@ -107,8 +107,27 @@ def grouped_aggregate(
                 ones = jnp.where(mask[order], ones, 0)
             outs.append(jax.ops.segment_sum(ones, seg_ids, num_segments=num_groups))
             continue
-        if mask is not None and fn_name == "sum":
-            v = jnp.where(mask[order], v, 0)
+        if mask is not None:
+            # Masked rows land in segment num_groups-1, which is a REAL group
+            # whenever the group count exactly fills capacity — so every agg
+            # must neutralize masked values, not just sum (silent-wrong-answer
+            # edge otherwise: min/max of the last group absorbing filtered rows).
+            if fn_name == "sum":
+                v = jnp.where(mask[order], v, 0)
+            elif fn_name == "min":
+                neutral = (
+                    jnp.asarray(jnp.inf, v.dtype)
+                    if jnp.issubdtype(v.dtype, jnp.floating)
+                    else jnp.iinfo(v.dtype).max
+                )
+                v = jnp.where(mask[order], v, neutral)
+            elif fn_name == "max":
+                neutral = (
+                    jnp.asarray(-jnp.inf, v.dtype)
+                    if jnp.issubdtype(v.dtype, jnp.floating)
+                    else jnp.iinfo(v.dtype).min
+                )
+                v = jnp.where(mask[order], v, neutral)
         outs.append(_AGG_FNS[fn_name](v, seg_ids, num_segments=num_groups))
     first_idx = jnp.cumsum(new_seg) - 1
     first_idx = jnp.clip(first_idx, 0, num_groups - 1)

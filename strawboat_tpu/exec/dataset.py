@@ -98,12 +98,16 @@ def concat_device_columns(name: str, parts: List[DeviceColumn]) -> DeviceColumn:
         raise OutOfSpecError(f"column {name!r} type differs across files: {dtypes}")
     validity = _concat_validity(parts)
     if any(p.dictionary is not None for p in parts):
+        if not all(p.dictionary is not None for p in parts):
+            # remapping plain values through a dictionary translation table
+            # would clamp out-of-range indices into silent garbage
+            raise OutOfSpecError(
+                f"column {name!r} mixes dictionary and plain encodings "
+                "across dataset parts"
+            )
         from ..parallel.dist_scan import _merge_dictionaries
 
-        empty = pa.array([], type=pa.binary())
-        gdict, tables = _merge_dictionaries(
-            [p.dictionary if p.dictionary is not None else empty for p in parts]
-        )
+        gdict, tables = _merge_dictionaries([p.dictionary for p in parts])
         vals = jnp.concatenate(
             [
                 jnp.asarray(t, dtype=jnp.int32)[p.values.astype(jnp.int32)]
@@ -154,20 +158,12 @@ def scan_dataset(
     ]
     parts = [t for t in parts if t.num_rows > 0]
     if not parts:
-        # keep the schema by scanning the first file unpruned but empty-masked
-        empty = scan_file(concrete[0], columns=columns)
-        import jax.numpy as jnp
-
-        cols = {
-            n: DeviceColumn(
-                n, c.dtype, c.values[:0],
-                None if c.validity is None else c.validity[:0],
-                dictionary=c.dictionary,
-            )
-            for n, c in empty.columns.items()
-            if not isinstance(c, DeviceListColumn)
-        }
-        return DeviceTable(cols, 0)
+        # recover the schema cheaply: re-scan the first file WITH the
+        # predicates — its pages all prune (file_may_match already proved no
+        # zone can match), so no data page decodes and the result is the
+        # 0-row table with the right columns (incl. empty list columns,
+        # consistent with scan_file's own empty result)
+        return scan_file(concrete[0], columns=columns, predicates=predicates)
     return concat_device_tables(parts)
 
 
@@ -312,8 +308,9 @@ def scan_dataset_with_manifest(
         e["path"] for e in manifest["parts"] if _part_may_match(e, predicates)
     ]
     if not survivors:
+        # scan_dataset's own footer pruning on the first part yields the
+        # 0-row table with the correct schema
         survivors = [manifest["parts"][0]["path"]]
-        predicates = predicates or []
     return scan_dataset(survivors, columns=columns, predicates=predicates)
 
 

@@ -380,6 +380,15 @@ def _column_packed_words(
                     f"resident load: all-null dict page in {field.name!r}"
                 )
             dvals = np.frombuffer(buf, np_dtype, count, vpos + 4)
+            dwide = dvals.astype(np.int64)
+            if dwide.size and (
+                int(dwide.min()) < -(1 << 31) or int(dwide.max()) >= 1 << 31
+            ):
+                # dict VALUES ride as int32 on device; wrapping would corrupt
+                # decoded sums and the sorted-dict bound translation
+                raise NotYetImplementedError(
+                    f"resident load: dict values of {field.name!r} exceed i32"
+                )
             if dicts is None:
                 if vals_parts:
                     raise NotYetImplementedError(

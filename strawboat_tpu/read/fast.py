@@ -45,14 +45,21 @@ class ReadArena:
     """
 
     def __init__(self) -> None:
+        import threading
+
         self._free: Dict[int, List[np.ndarray]] = {}
         self._lent: List[np.ndarray] = []
+        # read_table drives read_column_fast from a thread pool with one
+        # shared arena; get/recycle must be atomic or two threads racing on
+        # the same size bucket can both pop a 1-element list
+        self._lock = threading.Lock()
 
     def get(self, nbytes: int) -> np.ndarray:
         """A uint8 buffer of exactly ``nbytes`` (recycled when possible)."""
-        bucket = self._free.get(nbytes)
-        buf = bucket.pop() if bucket else np.empty(nbytes, dtype=np.uint8)
-        self._lent.append(buf)
+        with self._lock:
+            bucket = self._free.get(nbytes)
+            buf = bucket.pop() if bucket else np.empty(nbytes, dtype=np.uint8)
+            self._lent.append(buf)
         return buf
 
     def recycle(self) -> None:
@@ -61,9 +68,10 @@ class ReadArena:
         Called at the START of a read: anything the previous read returned
         is now fair game (the documented invalidation point).
         """
-        for buf in self._lent:
-            self._free.setdefault(buf.nbytes, []).append(buf)
-        self._lent.clear()
+        with self._lock:
+            for buf in self._lent:
+                self._free.setdefault(buf.nbytes, []).append(buf)
+            self._lent.clear()
 
 
 def _arrow_fixed_np_dtype(t: pa.DataType) -> Optional[np.dtype]:
