@@ -24,8 +24,10 @@ from .sort import sort_indices, sort_table, take_table
 
 @dataclass
 class Query:
-    path: str
+    path: str  # file path, glob, list of paths, or a ResidentTable
     _columns: Optional[List[str]] = None
+    # resident sources: padding mask over the tiled table (True = real row)
+    _base_mask: Optional[object] = None
     _filter: Optional[Expr] = None
     _keys: List[str] = field(default_factory=list)
     _aggs: Dict[str, Tuple[str, str]] = field(default_factory=dict)
@@ -87,6 +89,15 @@ class Query:
     # -- execution ------------------------------------------------------
 
     def scan(self) -> DeviceTable:
+        from .resident import ResidentTable
+
+        if isinstance(self.path, ResidentTable):
+            # compressed-in-HBM source: decoded tiled columns + padding mask
+            # (tiled order is a pure permutation — every order-invariant
+            # stage below sees exactly the natural-order table)
+            cols = self._referenced_columns()
+            table, self._base_mask = self.path.as_device_table(cols)
+            return table
         predicates = list(self._filter.atoms) if self._filter is not None else None
         cols = self._referenced_columns()
         if not isinstance(self.path, str) or any(c in self.path for c in "*?["):
@@ -99,10 +110,31 @@ class Query:
 
     def run(self):
         table = self.scan()
+        base_mask = self._base_mask
+        row_order_sensitive = (
+            not self._keys
+            and not self._aggs
+            and not self._distinct
+            and (self._join is None)
+        )
+        if base_mask is not None and row_order_sensitive:
+            # projection / limit / order-by over a resident source: restore
+            # natural row order up front (one gather) so "first n rows" and
+            # returned tables mean file order, with no padding slots
+            import jax.numpy as jnp
+
+            table = take_table(table, self.path.natural_slot_index())
+            base_mask = None
         join_valid = None
         if self._join is not None:
-            table, join_valid = self._apply_join(table)
+            # padding slots are excluded as a probe mask so they never match
+            table, join_valid = self._apply_join(table, probe_mask=base_mask)
+            base_mask = None  # folded into join_valid
         mask = self._filter.mask(table) if self._filter is not None else None
+        if base_mask is not None:
+            import jax.numpy as jnp
+
+            mask = base_mask if mask is None else jnp.logical_and(mask, base_mask)
         if join_valid is not None:
             import jax.numpy as jnp
 
@@ -165,7 +197,7 @@ class Query:
             {n: table.columns[n] for n in self._columns}, table.num_rows
         )
 
-    def _apply_join(self, table: DeviceTable):
+    def _apply_join(self, table: DeviceTable, probe_mask=None):
         """Materialize the inner join: gather both sides by the match
         indices; returns (joined table, row-valid mask)."""
         from ..errors import NotYetImplementedError, OutOfSpecError
@@ -173,6 +205,23 @@ class Query:
 
         other_q, on, max_fanout = self._join
         build = other_q.scan()
+        if other_q._base_mask is not None:
+            # resident build side: padded slots must never match — fold the
+            # padding mask into the build key's validity
+            import dataclasses
+
+            import jax.numpy as jnp
+
+            bk0 = build.columns[on[1]]
+            bv0 = (
+                other_q._base_mask
+                if bk0.validity is None
+                else jnp.logical_and(bk0.validity, other_q._base_mask)
+            )
+            build = DeviceTable(
+                {**build.columns, on[1]: dataclasses.replace(bk0, validity=bv0)},
+                build.num_rows,
+            )
         if other_q._filter is not None:
             # build-side filter: rows failing it must never match — fold the
             # mask into the build key's validity (null keys cannot match)
@@ -189,7 +238,9 @@ class Query:
                 {**build.columns, on[1]: dataclasses.replace(bk, validity=bvalid)},
                 build.num_rows,
             )
-        pi, bi, valid = hash_join(table, build, on=on, max_fanout=max_fanout)
+        pi, bi, valid = hash_join(
+            table, build, on=on, max_fanout=max_fanout, probe_mask=probe_mask
+        )
 
         def _gather(c, idx):
             if getattr(c, "offsets", None) is not None:

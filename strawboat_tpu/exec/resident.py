@@ -1,26 +1,52 @@
 """Compressed-in-HBM resident tables: scan packed pages at kernel speed.
 
 ``scan_file`` materializes decoded columns in HBM (8B/row for int64).  A
-*resident* table instead keeps the BITPACKED words in HBM (b/32 of the
-decoded size; dict columns keep packed CODES + the tiny dictionary) and
-decodes on the fly inside each query — order-invariant consumers (filter,
-sum, grouped aggregate) read the plane kernel's tiled output directly,
-skipping the natural-order restore whose 4-lane value interleave is
-HBM-granularity-bound (~20 GB/s); measured tiled-order scan rate on v5e:
-~280 GB/s of decoded values per column (bench
+*resident* table instead keeps bit-packed PLANES in HBM (b/32 of the decoded
+size per 32-bit plane; dict columns keep packed CODES + the tiny dictionary)
+and decodes on the fly inside each query — order-invariant consumers
+(filter, sum, grouped aggregate, join) read the plane kernel's tiled output
+directly, skipping the natural-order restore.  Measured tiled-order scan
+rate on v5e: ~280-300 GB/s of decoded values per column (bench
 ``resident_scan_bandwidth_tiled``).
+
+Column representation (round 4 — full format coverage): every column the
+host reader can decode loads, regardless of the file's page codecs
+(BP / ΔBP / RLE / Dict-any-index / Freq / OneValue / raw / Patas — the
+loader decodes through the complete host read path and re-encodes into the
+resident layout, so tail pages, mixed dict/plain pages and every codec the
+writer's chooser emits are covered by construction):
+
+* ``int``    — 1–2 planes of ≤32 bits over ``value - offset`` (offset strip
+  covers negative and wide int64); single ≤31-bit plane with offset 0
+  decodes straight to int32 (the fast path).
+* ``f32``/``f64`` — bitcast planes over ``(bits >> tz) - offset`` where
+  ``tz`` is the common-trailing-zero count (Patas-ish) — lossless at rest.
+* ``dict``   — packed codes + GLOBAL SORTED dictionary (device array for
+  value decode via the MXU one-hot gather; host copy for translating value
+  predicates into CODE-range predicates so filters never gather at all).
+  Strings always dict-encode (codes are the device column; the sorted
+  ``pa.Array`` dictionary rides on the DeviceColumn for literal
+  translation, ordering and materialization).
+* ``bool``   — one 1-bit plane.
+* nullable   — a 1-bit validity plane per column.
 
 Row alignment: the tiled permutation ``value -> (tile, t, lane)`` depends
 only on the lane layout (lane = 4*block + l) and tile padding — NOT on the
-bit width — so every column loaded with the same row count and tile size
-is row-aligned in tiled order, and cross-column predicates/aggregations
-are exact.  The natural row index of every tiled slot is pure arithmetic
-on the slot index (no stored permutation): padding masks and per-page
-padding masks compute on the fly and fuse into the consumers.
+bit width — so every plane of every column loaded with the same row count
+and tile size is row-aligned in tiled order, and cross-column
+predicates/aggregations are exact.  The natural row index of every tiled
+slot is pure iota arithmetic (no stored permutation).
 
-Measured (v5e, 8.4M rows x 4 columns incl. 2 dict columns, Q6 shape):
-fused warm Q6 = 29 ms through the axon relay, of which ~25 ms is the
-relay's scalar-fetch floor (289 Mrows/s; 3.4x compression held in HBM).
+Query access paths:
+
+* ``filter_sum`` / ``group_sum`` — fused single-jit fast paths (the bench
+  shapes).
+* ``as_device_table()`` — decoded tiled columns as a regular
+  :class:`DeviceTable` + padding mask, so the WHOLE query stack
+  (``Query.filter/group_by/agg/join/order_by``, expression DSL, string
+  dictionaries) runs over resident data unchanged.
+* ``to_arrow()`` — natural-order materialization via the in-VMEM
+  natural-order kernel (no HBM-granularity transpose).
 
 Capability note vs the reference: the reference decodes to host memory and
 has no resident representation (src/read/batch_read.rs); this is the
@@ -32,37 +58,76 @@ serving.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
 
-from ..constants import Compression
-from ..codecs import read_header
 from ..errors import NotYetImplementedError, OutOfSpecError
-from ..meta import ColumnMeta
-from ..read.levels import read_validity
-from ..read.reader import infer_schema, read_meta
-from ..schema import n_leaf_columns
+
+_MAX_DICT = 1 << 20  # dictionary entries beyond this: plain planes instead
 
 
 @dataclass
 class ResidentColumn:
     name: str
-    wt3: "object"  # (n_tiles, b, tile) u32 packed words (values or codes)
-    num_bits: int
+    # 1–2 packed planes, LSB-first: (wt3 (n_tiles, bits, tile) u32, bits)
+    planes: Tuple[Tuple[Any, int], ...]
+    shifts: Tuple[int, ...]  # bit position of each plane in the payload
     length: int  # true row count (tiled slots beyond are padding)
-    # dict columns only: GLOBAL SORTED dictionary (codes remapped at load).
-    # Sortedness is the point: a value-range predicate becomes a CODE-range
-    # predicate (host searchsorted) — filters never gather at all; only
-    # sums over the dict column pay one small MXU gather.
-    dictionary: "object" = None  # device i32
-    dictionary_host: "object" = None  # np i64 (bound translation)
+    kind: str  # 'int' | 'f32' | 'f64' | 'bool' | 'str'
+    # payload = ((Σ plane_i << shift_i) + offset) << bit_shift   (mod 2^64;
+    # then bitcast per kind).  offset is stored as the two's-complement u64.
+    offset: int = 0
+    bit_shift: int = 0
+    # dict columns only: GLOBAL SORTED dictionary.  Sortedness is the point:
+    # a value-range predicate becomes a CODE-range predicate (host
+    # searchsorted) — filters never gather; only value decodes pay one
+    # small MXU gather.
+    dictionary: Any = None  # device values (i32/i64/f32/f64); None for str
+    dictionary_host: Any = None  # np sorted values (bound translation)
+    dictionary_pa: Any = None  # pa.Array sorted (strings: DeviceColumn dict)
+    validity_plane: Any = None  # wt3 of a 1-bit plane, or None (all valid)
+    arrow_type: Any = None
+
+    @property
+    def wt3(self):  # diagnostic back-compat (plane 0 words)
+        return self.planes[0][0]
+
+    @property
+    def num_bits(self) -> int:
+        return self.planes[0][1]
+
+    @property
+    def is_dict(self) -> bool:
+        return self.dictionary_host is not None
 
     @property
     def tiled_slots(self) -> int:
-        n_tiles, _b, tile = self.wt3.shape
+        n_tiles, _b, tile = self.planes[0][0].shape
         return n_tiles * tile * 32
+
+    def decoded_dtype(self):
+        import jax.numpy as jnp
+
+        if self.is_dict:
+            if self.kind == "str":
+                return jnp.int32  # codes
+            return self.dictionary.dtype
+        if self.kind == "bool":
+            return jnp.bool_
+        if self.kind == "f32":
+            return jnp.float32
+        if self.kind == "f64":
+            return jnp.float64
+        if (
+            len(self.planes) == 1
+            and self.offset == 0
+            and self.bit_shift == 0
+            and self.planes[0][1] <= 31
+        ):
+            return jnp.int32
+        return jnp.int64
 
 
 def _rows_to_t_major(out3, b: int):
@@ -102,6 +167,49 @@ def _natural_index_tiled(n_tiles: int, tile: int):
     return nat.reshape(-1)
 
 
+def _unpack_plane_tiled(wt3, bits: int):
+    """One packed plane → flat uint32 values in tiled-slot order."""
+    import jax.numpy as jnp
+
+    from ..kernels.bitunpack_pallas import bitunpack_pallas_tiled_seeded
+
+    out3 = bitunpack_pallas_tiled_seeded(wt3, jnp.uint32(0), bits)
+    out3 = _rows_to_t_major(out3, bits)
+    return out3.reshape(-1)
+
+
+_NATURAL_BITS_OK: Dict[int, bool] = {}  # memoized Mosaic support per width
+
+
+def _unpack_plane_natural(wt3, bits: int):
+    """One packed plane → flat uint32 values in NATURAL row order (padded).
+
+    Uses the in-VMEM reorder kernel (one contiguous HBM write); falls back
+    to unpack + XLA restore where Mosaic can't lower the shape cast
+    (CPU tests, exotic widths).  Failures memoize per width — jax does not
+    cache FAILED pallas compiles, and retrying pays the (remote) compile
+    failure on every call."""
+    import jax.numpy as jnp
+
+    from ..kernels.bitunpack_pallas import (
+        bitunpack_pallas_tiled_natural,
+        bitunpack_pallas_tiled_seeded,
+        bitunpack_tiled_to_flat,
+    )
+
+    if _NATURAL_BITS_OK.get(bits, True):
+        try:
+            out = bitunpack_pallas_tiled_natural(
+                wt3, jnp.uint32(0), bits
+            ).reshape(-1)
+            _NATURAL_BITS_OK[bits] = True
+            return out
+        except Exception:
+            _NATURAL_BITS_OK[bits] = False
+    out3 = bitunpack_pallas_tiled_seeded(wt3, jnp.uint32(0), bits)
+    return bitunpack_tiled_to_flat(out3, bits)
+
+
 @dataclass
 class ResidentTable:
     columns: Dict[str, ResidentColumn]
@@ -111,6 +219,185 @@ class ResidentTable:
     def __post_init__(self):
         self._jit_cache: Dict = {}
         self._bounds_cache: Dict = {}
+
+    def __getitem__(self, name: str) -> ResidentColumn:
+        return self.columns[name]
+
+    @property
+    def tiled_slots(self) -> int:
+        return next(iter(self.columns.values())).tiled_slots
+
+    def _grid(self):
+        c = next(iter(self.columns.values()))
+        n_tiles, _b, tile = c.planes[0][0].shape
+        return n_tiles, tile
+
+    def _nat(self):
+        n_tiles, tile = self._grid()
+        return _natural_index_tiled(n_tiles, tile)
+
+    def mask_tiled(self):
+        """Padding-alignment mask (True = real row), computed on the fly."""
+        return self._nat() < self.num_rows
+
+    def natural_slot_index(self):
+        """slot index of natural row i (inverse of the tiled permutation) —
+        pure iota arithmetic, no stored permutation."""
+        import jax.numpy as jnp
+
+        _n_tiles, tile = self._grid()
+        i = jnp.arange(self.num_rows, dtype=jnp.int32)
+        blk, r = i // 128, i % 128
+        t, l = r // 4, r % 4
+        lane_g = 4 * blk + l
+        return (lane_g // tile) * (32 * tile) + t * tile + (lane_g % tile)
+
+    # -- decode --------------------------------------------------------
+
+    def _combine(self, c: ResidentColumn, vals, with_dict: bool, dictionary):
+        """Plane value arrays (flat uint32) → decoded column values."""
+        import jax
+        import jax.numpy as jnp
+
+        if c.is_dict:
+            codes = vals[0].astype(jnp.int32)
+            if with_dict and dictionary is not None:
+                from ..kernels.decode import dict_gather_device
+
+                # plain XLA gathers are pathological on TPU (kernels/gather);
+                # the dictionary lookup rides the MXU one-hot path
+                return dict_gather_device(codes, dictionary)
+            return codes
+        if c.kind == "bool":
+            return vals[0] != 0
+        if c.kind == "f32":
+            u = vals[0]
+            if c.offset:
+                u = u + jnp.uint32(c.offset & 0xFFFFFFFF)
+            if c.bit_shift:
+                u = u << jnp.uint32(c.bit_shift)
+            return jax.lax.bitcast_convert_type(u, jnp.float32)
+        if (
+            len(c.planes) == 1
+            and c.offset == 0
+            and c.bit_shift == 0
+            and c.planes[0][1] <= 31
+            and c.kind == "int"
+        ):
+            return vals[0].astype(jnp.int32)  # fast path: values < 2^31
+        u = jnp.zeros_like(vals[0], dtype=jnp.uint64)
+        for v, sh in zip(vals, c.shifts):
+            u = u | (v.astype(jnp.uint64) << jnp.uint64(sh))
+        if c.offset:
+            u = u + jnp.uint64(c.offset)
+        if c.bit_shift:
+            u = u << jnp.uint64(c.bit_shift)
+        if c.kind == "f64":
+            return jax.lax.bitcast_convert_type(u, jnp.float64)
+        return jax.lax.bitcast_convert_type(u, jnp.int64)
+
+    def _decode_in_trace(self, name, planes_wt3, dictionary, with_dict=True):
+        """decode_tiled body over traced inputs (used inside fused jits)."""
+        c = self.columns[name]
+        vals = [
+            _unpack_plane_tiled(wt3, bits)
+            for wt3, (_w, bits) in zip(planes_wt3, c.planes)
+        ]
+        return self._combine(c, vals, with_dict, dictionary)
+
+    def _col_args(self, name: str):
+        c = self.columns[name]
+        return (tuple(wt3 for wt3, _b in c.planes), c.dictionary)
+
+    def decode_tiled(self, name: str, with_dict: bool = True):
+        """Column values in tiled order, padding slots included.
+
+        Dict columns decode through the dictionary unless ``with_dict`` is
+        False (code space — the predicate representation).  Strings always
+        return codes."""
+        c = self.columns[name]
+        vals = [_unpack_plane_tiled(wt3, bits) for wt3, bits in c.planes]
+        return self._combine(c, vals, with_dict, c.dictionary)
+
+    def validity_tiled(self, name: str):
+        """Validity (True = non-null) in tiled order, or None (all valid)."""
+        c = self.columns[name]
+        if c.validity_plane is None:
+            return None
+        return _unpack_plane_tiled(c.validity_plane, 1) != 0
+
+    def decode_natural(self, name: str, with_dict: bool = True):
+        """Column values in NATURAL row order (true length), via the in-VMEM
+        reorder kernel — no HBM-granularity transpose."""
+        c = self.columns[name]
+        vals = [
+            _unpack_plane_natural(wt3, bits)[: self.num_rows]
+            for wt3, bits in c.planes
+        ]
+        return self._combine(c, vals, with_dict, c.dictionary)
+
+    def validity_natural(self, name: str):
+        c = self.columns[name]
+        if c.validity_plane is None:
+            return None
+        return _unpack_plane_natural(c.validity_plane, 1)[: self.num_rows] != 0
+
+    # -- whole-table views ---------------------------------------------
+
+    def as_device_table(self, columns: Optional[Sequence[str]] = None):
+        """Decoded tiled columns as a regular DeviceTable + padding mask.
+
+        The returned table has ``tiled_slots`` rows; the mask marks the
+        ``num_rows`` real ones.  Order-invariant consumers (filter,
+        aggregate, join — the whole grouped-query stack) give results equal
+        to the natural-order table; row-order-sensitive paths restore
+        natural order via :meth:`natural_slot_index`.
+        """
+        from .scan import DeviceColumn, DeviceTable
+
+        names = list(columns) if columns is not None else list(self.columns)
+        cols = {}
+        for n in names:
+            c = self.columns[n]
+            vals = self.decode_tiled(n)
+            cols[n] = DeviceColumn(
+                n,
+                c.arrow_type,
+                vals,
+                self.validity_tiled(n),
+                dictionary=c.dictionary_pa,
+            )
+        return DeviceTable(cols, self.tiled_slots), self.mask_tiled()
+
+    def to_arrow(self, columns: Optional[Sequence[str]] = None) -> pa.Table:
+        """Natural-order host materialization (round-trips the loaded data)."""
+        names = list(columns) if columns is not None else list(self.columns)
+        arrays = {}
+        for n in names:
+            c = self.columns[n]
+            vals = np.asarray(self.decode_natural(n))
+            validity = self.validity_natural(n)
+            mask = None if validity is None else ~np.asarray(validity)
+            if c.kind == "str":
+                arr = c.dictionary_pa.take(
+                    pa.array(vals, mask=mask)
+                )
+                if arr.type != c.arrow_type:
+                    arr = arr.cast(c.arrow_type)
+            else:
+                arr = pa.array(vals, mask=mask)
+                if c.arrow_type is not None and arr.type != c.arrow_type:
+                    try:
+                        arr = arr.cast(c.arrow_type)
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                        # date32 & friends only cast from their storage
+                        # width; round-trip through the storage int type
+                        storage = pa.int32() if c.arrow_type.bit_width == 32 else pa.int64()
+                        arr = arr.cast(storage).cast(c.arrow_type)
+            arrays[n] = arr
+        return pa.table(arrays)
+
+    # -- bound translation ---------------------------------------------
 
     def _code_bounds(self, col: str, lo, hi):
         """Translate VALUE bounds to CODE bounds for sorted-dict columns.
@@ -127,85 +414,46 @@ class ResidentTable:
         hi_c = None if hi is None else int(np.searchsorted(d, hi, "left"))
         return lo_c, hi_c, True
 
-    def _bounds(self, predicates, pcols):
-        """Device arrays for the lo/hi literals (code-space for dict
-        columns), cached by value — each fresh host→device transfer costs a
-        relay round trip on this box."""
+    def _bound_scalars(self, predicates, pcols):
+        """Device scalars for the lo/hi literals (code-space for dict
+        columns, value-space otherwise), cached by value — each fresh
+        host→device transfer costs a relay round trip on this box."""
         import jax.numpy as jnp
 
         key = tuple((c,) + tuple(predicates[c]) for c in pcols)
         hit = self._bounds_cache.get(key)
         if hit is None:
             los, his = [], []
-            for c in pcols:
-                lo, hi = predicates[c]
-                lo, hi, _is_code = self._code_bounds(c, lo, hi)
-                if predicates[c][0] is not None:
-                    los.append(lo)
-                if predicates[c][1] is not None:
-                    his.append(hi)
-            hit = (
-                jnp.asarray(los, dtype=jnp.int32),
-                jnp.asarray(his, dtype=jnp.int32),
-            )
+            for cname in pcols:
+                lo, hi = predicates[cname]
+                lo, hi, is_code = self._code_bounds(cname, lo, hi)
+                c = self.columns[cname]
+                dt = jnp.int32 if is_code else c.decoded_dtype()
+                if predicates[cname][0] is not None:
+                    los.append(jnp.asarray(lo, dtype=dt))
+                if predicates[cname][1] is not None:
+                    his.append(jnp.asarray(hi, dtype=dt))
+            hit = (tuple(los), tuple(his))
             self._bounds_cache[key] = hit
         return hit
 
-    def __getitem__(self, name: str) -> ResidentColumn:
-        return self.columns[name]
+    def _predicate_mask_in_trace(self, pcols, flags, codes, los, his, m):
+        li = hi_i = 0
+        for cname, (has_lo, has_hi) in zip(pcols, flags):
+            cv = codes[cname]
+            if has_lo:
+                m = m & (cv >= los[li])
+                li += 1
+            if has_hi:
+                m = m & (cv < his[hi_i])
+                hi_i += 1
+        return m
 
-    def _nat(self, col: ResidentColumn):
-        n_tiles, _b, tile = col.wt3.shape
-        return _natural_index_tiled(n_tiles, tile)
-
-    def mask_tiled(self):
-        """Alignment mask (True = real row), computed on the fly."""
-        c = next(iter(self.columns.values()))
-        return self._nat(c) < self.num_rows
-
-    # -- order-invariant query ops -------------------------------------
-
-    def decode_tiled(self, name: str):
-        """Column values in tiled order (int32), padding slots included."""
-        import jax.numpy as jnp
-
-        from ..kernels.bitunpack_pallas import bitunpack_pallas_tiled_seeded
-
-        c = self.columns[name]
-        out3 = bitunpack_pallas_tiled_seeded(c.wt3, jnp.uint32(0), c.num_bits)
-        out3 = _rows_to_t_major(out3, c.num_bits)
-        out = out3.reshape(-1).astype(jnp.int32)
-        if c.dictionary is not None:
-            from ..kernels.decode import dict_gather_device
-
-            # plain XLA gathers are pathological on TPU (kernels/gather);
-            # the dictionary lookup rides the MXU one-hot path
-            out = dict_gather_device(out, c.dictionary)
-        return out
-
-    def _decode_in_trace(self, name: str, wt3, dictionary):
-        """decode_tiled body over traced inputs (used inside fused jits)."""
-        import jax.numpy as jnp
-
-        from ..kernels.bitunpack_pallas import bitunpack_pallas_tiled_seeded
-
-        c = self.columns[name]
-        out3 = bitunpack_pallas_tiled_seeded(wt3, jnp.uint32(0), c.num_bits)
-        out3 = _rows_to_t_major(out3, c.num_bits)
-        out = out3.reshape(-1).astype(jnp.int32)
-        if dictionary is not None:
-            from ..kernels.decode import dict_gather_device
-
-            out = dict_gather_device(out, dictionary)
-        return out
-
-    def _col_args(self, name: str):
-        c = self.columns[name]
-        return (c.wt3, c.dictionary)
+    # -- order-invariant fused query ops --------------------------------
 
     def filter_sum(
         self,
-        predicates: Dict[str, Tuple[Optional[int], Optional[int]]],
+        predicates: Dict[str, Tuple[Optional[float], Optional[float]]],
         value: str,
         product_with: Optional[str] = None,
     ):
@@ -214,7 +462,8 @@ class ResidentTable:
         The Q6 shape.  Decode + predicate + reduce fuse into ONE jitted
         call (cached per query shape; bound VALUES are traced, so changing
         a constant does not recompile).  Nothing is restored to natural
-        order.  Bounds are half-open; None = unbounded.
+        order.  Bounds are half-open; None = unbounded.  Dict predicate
+        columns compare in CODE space (no gather); null rows never count.
         """
         import jax
         import jax.numpy as jnp
@@ -226,53 +475,68 @@ class ResidentTable:
         )
         key = ("fs", pcols, flags, value, product_with)
         fn = self._jit_cache.get(key)
+        names = list(
+            dict.fromkeys(
+                pcols + (value,) + ((product_with,) if product_with else ())
+            )
+        )
         if fn is None:
-            names = list(dict.fromkeys(pcols + (value,) + ((product_with,) if product_with else ())))
-
             value_cols = {value} | ({product_with} if product_with else set())
 
-            def impl(colargs, los, his):
+            def impl(colargs, vplanes, los, his):
                 # predicate-only columns stay in CODE space (no gather);
                 # summed columns decode through the dictionary
                 cols = {}
                 codes = {}
                 for n in names:
-                    wt3, dictionary = colargs[n]
+                    planes, dictionary = colargs[n]
                     if n in value_cols:
-                        cols[n] = self._decode_in_trace(n, wt3, dictionary)
+                        cols[n] = self._decode_in_trace(n, planes, dictionary)
                     if n in pcols:
-                        codes[n] = self._decode_in_trace(n, wt3, None)
+                        codes[n] = self._decode_in_trace(
+                            n, planes, None, with_dict=False
+                        )
                 m = self.mask_tiled()
-                li = hi_i = 0
-                for cname, (has_lo, has_hi) in zip(pcols, flags):
-                    cv = codes[cname]
-                    if has_lo:
-                        m = m & (cv >= los[li]); li += 1
-                    if has_hi:
-                        m = m & (cv < his[hi_i]); hi_i += 1
+                for vp in vplanes:
+                    m = m & (_unpack_plane_tiled(vp, 1) != 0)
+                m = self._predicate_mask_in_trace(
+                    pcols, flags, codes, los, his, m
+                )
                 acc = cols[value]
                 if product_with is not None:
-                    acc = acc.astype(jnp.int64) * cols[product_with]
+                    acc = acc.astype(
+                        acc.dtype
+                        if jnp.issubdtype(acc.dtype, jnp.floating)
+                        else jnp.int64
+                    ) * cols[product_with]
+                if jnp.issubdtype(acc.dtype, jnp.floating):
+                    return jnp.sum(jnp.where(m, acc, 0), dtype=jnp.float64)
                 return jnp.sum(jnp.where(m, acc, 0), dtype=jnp.int64)
 
             fn = jax.jit(impl)
             self._jit_cache[key] = fn
-        names = list(dict.fromkeys(pcols + (value,) + ((product_with,) if product_with else ())))
         colargs = {n: self._col_args(n) for n in names}
-        los, his = self._bounds(predicates, pcols)
-        return fn(colargs, los, his)
+        vplanes = tuple(
+            self.columns[n].validity_plane
+            for n in names
+            if self.columns[n].validity_plane is not None
+        )
+        los, his = self._bound_scalars(predicates, pcols)
+        return fn(colargs, vplanes, los, his)
 
     def group_sum(
         self,
         key: str,
         values: Sequence[str],
         num_groups: int,
-        predicates: Optional[Dict[str, Tuple[Optional[int], Optional[int]]]] = None,
+        predicates: Optional[Dict[str, Tuple[Optional[float], Optional[float]]]] = None,
     ):
         """Per-group sums + counts over dense integer keys in [0, num_groups).
 
         Grouping is a segment-sum over tiled order — permutation-invariant,
-        so results equal the natural-order aggregate exactly.
+        so results equal the natural-order aggregate exactly.  For dict key
+        columns the group id is the (sorted) dictionary CODE; translate via
+        ``columns[key].dictionary_host``.
         """
         import jax
         import jax.numpy as jnp
@@ -287,30 +551,34 @@ class ResidentTable:
         fn = self._jit_cache.get(ck)
         names = list(dict.fromkeys((key,) + tuple(values) + pcols))
         if fn is None:
+            value_cols = set(values)
 
-            value_cols = {key} | set(values)
-
-            def impl(colargs, los, his):
+            def impl(colargs, vplanes, los, his):
                 cols = {}
                 codes = {}
                 for n in names:
-                    wt3, dictionary = colargs[n]
+                    planes, dictionary = colargs[n]
                     if n in value_cols:
-                        cols[n] = self._decode_in_trace(n, wt3, dictionary)
-                    if n in pcols:
-                        codes[n] = self._decode_in_trace(n, wt3, None)
+                        cols[n] = self._decode_in_trace(n, planes, dictionary)
+                    if n in pcols or n == key:
+                        codes[n] = self._decode_in_trace(
+                            n, planes, None, with_dict=False
+                        )
                 m = self.mask_tiled()
-                li = hi_i = 0
-                for cname, (has_lo, has_hi) in zip(pcols, flags):
-                    cv = codes[cname]
-                    if has_lo:
-                        m = m & (cv >= los[li]); li += 1
-                    if has_hi:
-                        m = m & (cv < his[hi_i]); hi_i += 1
-                k = jnp.where(m, cols[key], num_groups)
+                for vp in vplanes:
+                    m = m & (_unpack_plane_tiled(vp, 1) != 0)
+                m = self._predicate_mask_in_trace(
+                    pcols, flags, codes, los, his, m
+                )
+                # dict keys group by CODE (dense by construction); plain
+                # int keys group by value
+                kv = codes[key].astype(jnp.int32)
+                k = jnp.where(m, kv, num_groups)
                 outs = []
                 for v in values:
-                    vv = cols[v].astype(jnp.int64)
+                    vv = cols[v]
+                    if not jnp.issubdtype(vv.dtype, jnp.floating):
+                        vv = vv.astype(jnp.int64)
                     outs.append(
                         jax.ops.segment_sum(
                             jnp.where(m, vv, 0), k, num_segments=num_groups + 1
@@ -324,188 +592,260 @@ class ResidentTable:
             fn = jax.jit(impl)
             self._jit_cache[ck] = fn
         colargs = {n: self._col_args(n) for n in names}
-        los, his = self._bounds(predicates, pcols)
-        return fn(colargs, los, his)
+        vplanes = tuple(
+            self.columns[n].validity_plane
+            for n in names
+            if self.columns[n].validity_plane is not None
+        )
+        los, his = self._bound_scalars(predicates, pcols)
+        return fn(colargs, vplanes, los, his)
 
 
-def _column_packed_words(
-    file_bytes: np.ndarray, meta: ColumnMeta, field: pa.Field, np_dtype
-):
-    """One column → uniform-width packed block words (+ dicts for DICT pages).
+# ---------------------------------------------------------------------------
+# Loader: host-decode (complete format coverage) → plane re-encode.
+# ---------------------------------------------------------------------------
 
-    Every page's values (or dict codes) decode to u32 host-side — the
-    native one-pass block walk handles mixed per-block widths — and the
-    whole column repacks ONCE (vectorized) at the global width, so the
-    resident layout is always a single uniform block stream regardless of
-    how the writer mixed widths across blocks/pages.  Returns
-    (words (n_blocks, b*4) u32, b, n_rows, sorted_global_dict|None).  Raises
-    NotYetImplementedError for layouts without a packed representation —
-    resident loading is an opt-in fast representation, never silently wrong.
-    """
-    from .. import native
+
+def _pack_plane(vals: np.ndarray, bits: int, tile: int):
+    """(n,) uint32 values (< 2^bits) → (n_tiles, bits, tile) device words."""
+    import jax.numpy as jnp
+
+    from ..kernels.bitunpack_pallas import transpose_words_host_tiled
     from ..util.bits import pack_blocks
 
-    if not native.available():
-        raise NotYetImplementedError("resident load needs the native runtime")
-    nullable = bool(field.nullable)
-    vals_parts = []
-    dicts = None
-    n_rows = 0
-    page_rows = int(meta.pages[0].num_values) if meta.pages else 0
-    pos = meta.offset
-    for pi, page in enumerate(meta.pages):
-        buf = file_bytes[pos : pos + page.length]
-        p = 0
-        if nullable:
-            validity, p = read_validity(buf, 0, page.num_values)
-            if validity is not None:
-                raise NotYetImplementedError(
-                    f"resident load of nullable column {field.name!r} with nulls"
-                )
-        if pi < len(meta.pages) - 1 and page.num_values != page_rows:
-            raise OutOfSpecError("non-uniform page grid")
-        codec, csize, _us, body = read_header(buf, p)
-        n_blocks = (page.num_values + 127) // 128
-        if codec == Compression.DICT:
-            icodec, icsize, _ius, ibody = read_header(buf, body)
-            if icodec != Compression.BITPACKING:
-                raise NotYetImplementedError(
-                    f"resident load: column {field.name!r} dict index codec "
-                    f"{icodec!r}"
-                )
-            vpos = ibody + icsize
-            count = int(np.frombuffer(buf, "<u4", 1, vpos)[0])
-            if count == 0:
-                raise NotYetImplementedError(
-                    f"resident load: all-null dict page in {field.name!r}"
-                )
-            dvals = np.frombuffer(buf, np_dtype, count, vpos + 4)
-            dwide = dvals.astype(np.int64)
-            if dwide.size and (
-                int(dwide.min()) < -(1 << 31) or int(dwide.max()) >= 1 << 31
-            ):
-                # dict VALUES ride as int32 on device; wrapping would corrupt
-                # decoded sums and the sorted-dict bound translation
-                raise NotYetImplementedError(
-                    f"resident load: dict values of {field.name!r} exceed i32"
-                )
-            if dicts is None:
-                if vals_parts:
-                    raise NotYetImplementedError(
-                        f"resident load: column {field.name!r} mixes dict and "
-                        "plain pages"
-                    )
-                dicts = []
-            dicts.append(dvals.astype(np.int32))
-            vals, _end = native.bp_decode(buf, ibody, n_blocks)
-            vals = vals[: page.num_values]
-        elif codec == Compression.BITPACKING:
-            if dicts is not None:
-                raise NotYetImplementedError(
-                    f"resident load: column {field.name!r} mixes dict and "
-                    "plain pages"
-                )
-            vals, _end = native.bp_decode(buf, body, n_blocks)
-            vals = vals[: page.num_values]
-        elif codec.raw_mode and dicts is None:
-            from ..codecs.common import decompress
+    bits = max(bits, 1)
+    pad = (-len(vals)) % 128
+    if pad or not vals.flags.c_contiguous:
+        vals = np.concatenate([vals, np.zeros(pad, np.uint32)])
+    if len(vals) == 0:
+        vals = np.zeros(128, np.uint32)
+    words = pack_blocks(vals.reshape(-1, 128), bits)
+    return jnp.asarray(transpose_words_host_tiled(words.reshape(-1), bits, tile))
 
-            raw = decompress(
-                codec,
-                buf[body : body + csize].tobytes(),
-                page.num_values * np_dtype.itemsize,
-            )
-            wide = np.frombuffer(raw, np_dtype, page.num_values).astype(np.int64)
-            if (wide < 0).any() or (len(wide) and int(wide.max()) >= 1 << 31):
-                raise NotYetImplementedError(
-                    f"resident load: column {field.name!r} values exceed i32"
-                )
-            vals = wide.astype(np.uint32)
-        else:
-            raise NotYetImplementedError(
-                f"resident load: column {field.name!r} page codec {codec!r} "
-                "(BITPACKING / DICT-over-BITPACKING / raw only)"
-            )
-        vals_parts.append(vals)
-        n_rows += page.num_values
-        pos += page.length
-    if not vals_parts:
-        raise OutOfSpecError(f"column {field.name!r} has no pages")
-    gdict = None
-    if dicts is not None:
-        # GLOBAL SORTED dictionary: page codes remap through
-        # searchsorted(gdict, page_dict) — sortedness turns value-range
-        # predicates into code-range predicates at query time
-        gdict = np.unique(np.concatenate(dicts))
-        vals_parts = [
-            np.searchsorted(gdict, d)[v.astype(np.int64)].astype(np.uint32)
-            for v, d in zip(vals_parts, dicts)
-        ]
-    allv = np.concatenate(vals_parts)
-    b = max(int(allv.max()).bit_length(), 1) if allv.size else 1
-    if b > 31:
-        # decoded values ride as int32 in the query ops; a 32-bit value
-        # would wrap negative and silently corrupt comparisons
-        raise NotYetImplementedError(
-            f"resident load: {field.name!r} values exceed 31 bits"
+
+def _split_planes(u: np.ndarray, total_bits: int, tile: int):
+    """u64 payloads → 1–2 packed ≤32-bit planes (LSB first)."""
+    if total_bits <= 32:
+        return (
+            ((_pack_plane(u.astype(np.uint32), total_bits, tile), max(total_bits, 1)),),
+            (0,),
         )
-    pad = (-len(allv)) % 128
-    if pad:
-        allv = np.concatenate([allv, np.zeros(pad, np.uint32)])
-    words = pack_blocks(allv.reshape(-1, 128), b)
-    return words, b, n_rows, gdict
+    lo = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (u >> np.uint64(32)).astype(np.uint32)
+    return (
+        (_pack_plane(lo, 32, tile), 32),
+        (_pack_plane(hi, total_bits - 32, tile), total_bits - 32),
+    ), (0, 32)
+
+
+def _try_dict(vals: np.ndarray):
+    """Sorted-unique dictionary + codes, or None when cardinality is high.
+
+    A cheap strided sample gates the full ``np.unique`` so high-cardinality
+    columns don't pay a wasted full sort just to be told 'no'.
+    """
+    n = len(vals)
+    if n == 0:
+        return None
+    if n > (1 << 17):
+        sample = vals[:: max(1, n // 65536)]
+        if np.unique(sample).size > (1 << 14):
+            return None
+    uniq, inv = np.unique(vals, return_inverse=True)
+    if uniq.size > _MAX_DICT:
+        return None
+    return uniq, inv.astype(np.uint32)
+
+
+def _bits_of(x: int) -> int:
+    return max(int(x).bit_length(), 1)
+
+
+def _encode_int(name, vals: np.ndarray, tile: int, arrow_type, rows):
+    """int64 values → dict codes or offset-stripped planes."""
+    import jax.numpy as jnp
+
+    if len(vals):
+        vmin, vmax = int(vals.min()), int(vals.max())
+    else:
+        vmin = vmax = 0
+    span_bits = _bits_of(vmax - vmin)  # python ints: no wrap
+    offset = 0 if vmin >= 0 and vmax < (1 << 31) else vmin
+    plain_bits = span_bits if offset else _bits_of(vmax)
+    d = _try_dict(vals)
+    if d is not None:
+        uniq, codes = d
+        code_bits = _bits_of(max(len(uniq) - 1, 1))
+        if code_bits < plain_bits:
+            dev = jnp.asarray(
+                uniq.astype(np.int32)
+                if vmin >= -(1 << 31) and vmax < (1 << 31)
+                else uniq
+            )
+            planes, shifts = _split_planes(
+                codes.astype(np.uint64), code_bits, tile
+            )
+            return ResidentColumn(
+                name, planes, shifts, rows, "int",
+                dictionary=dev,
+                dictionary_host=uniq.astype(np.int64),
+                arrow_type=arrow_type,
+            )
+    u = vals.astype(np.uint64) - np.uint64(np.int64(offset).astype(np.uint64))
+    planes, shifts = _split_planes(u, plain_bits, tile)
+    return ResidentColumn(
+        name, planes, shifts, rows, "int",
+        offset=int(np.int64(offset).astype(np.uint64)),
+        arrow_type=arrow_type,
+    )
+
+
+def _encode_float(name, vals: np.ndarray, tile: int, arrow_type, rows):
+    """f32/f64 → dict codes or trailing-zero-stripped offset bitcast planes."""
+    import jax.numpy as jnp
+
+    is32 = vals.dtype == np.float32
+    kind = "f32" if is32 else "f64"
+    udt = np.uint32 if is32 else np.uint64
+    width = 32 if is32 else 64
+    u = vals.view(udt)
+    d = _try_dict(vals)
+    if d is not None:
+        uniq, codes = d
+        code_bits = _bits_of(max(len(uniq) - 1, 1))
+        # worthwhile iff codes are narrower than the raw bit pattern
+        if code_bits < width:
+            planes, shifts = _split_planes(
+                codes.astype(np.uint64), code_bits, tile
+            )
+            return ResidentColumn(
+                name, planes, shifts, rows, kind,
+                dictionary=jnp.asarray(uniq),
+                dictionary_host=uniq.astype(np.float64) if is32 else uniq,
+                arrow_type=arrow_type,
+            )
+    if len(u):
+        orv = int(np.bitwise_or.reduce(u))
+        tz = (orv & -orv).bit_length() - 1 if orv else 0
+        us = u >> udt(tz)
+        off = int(us.min())
+        us = us - udt(off)
+        bits = _bits_of(int(us.max())) if us.max() else 1
+    else:
+        tz, off, bits = 0, 0, 1
+        us = u
+    planes, shifts = _split_planes(us.astype(np.uint64), bits, tile)
+    return ResidentColumn(
+        name, planes, shifts, rows, kind,
+        offset=off, bit_shift=tz, arrow_type=arrow_type,
+    )
+
+
+def _encode_string(name, arr: pa.Array, tile: int, arrow_type, rows):
+    """utf8/binary → packed codes + GLOBAL SORTED dictionary."""
+    import pyarrow.compute as pc
+
+    denc = arr.dictionary_encode()
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    d = denc.dictionary
+    if len(d) > _MAX_DICT:
+        raise NotYetImplementedError(
+            f"resident load: string column {name!r} has {len(d)} distinct "
+            f"values (> {_MAX_DICT})"
+        )
+    order = pc.sort_indices(d).to_numpy(zero_copy_only=False)
+    rank = np.empty(max(len(d), 1), dtype=np.uint32)
+    rank[order] = np.arange(len(order), dtype=np.uint32)
+    codes_raw = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = rank[np.clip(codes_raw, 0, max(len(d) - 1, 0))]
+    sorted_pa = d.take(pa.array(order)) if len(d) else d
+    code_bits = _bits_of(max(len(d) - 1, 1))
+    planes, shifts = _split_planes(codes.astype(np.uint64), code_bits, tile)
+    return ResidentColumn(
+        name, planes, shifts, rows, "str",
+        dictionary_host=np.asarray(sorted_pa.to_pandas(), dtype=object),
+        dictionary_pa=sorted_pa,
+        arrow_type=arrow_type,
+    )
+
+
+def _encode_resident_column(
+    field: pa.Field, arr: pa.ChunkedArray, tile: int
+) -> ResidentColumn:
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    rows = len(arr)
+    t = field.type
+    validity = None
+    if arr.null_count:
+        validity = ~np.asarray(arr.is_null())
+    if pa.types.is_string(t) or pa.types.is_binary(t) or pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        col = _encode_string(field.name, arr, tile, t, rows)
+    elif pa.types.is_boolean(t):
+        arr_f = arr.fill_null(False) if arr.null_count else arr
+        v01 = arr_f.to_numpy(zero_copy_only=False).astype(np.uint32)
+        planes = ((_pack_plane(v01, 1, tile), 1),)
+        col = ResidentColumn(field.name, planes, (0,), rows, "bool", arrow_type=t)
+    elif pa.types.is_floating(t):
+        vals = arr.to_numpy(zero_copy_only=False)
+        if arr.null_count:
+            vals = np.nan_to_num(vals, nan=0.0).astype(vals.dtype)
+        if t.bit_width == 16:
+            raise NotYetImplementedError("resident load of float16")
+        col = _encode_float(field.name, np.ascontiguousarray(vals), tile, t, rows)
+    elif (
+        pa.types.is_integer(t)
+        or pa.types.is_date(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_time(t)
+    ):
+        if arr.null_count:
+            arr_f = arr.fill_null(0)
+        else:
+            arr_f = arr
+        vals = np.ascontiguousarray(
+            arr_f.to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        col = _encode_int(field.name, vals, tile, t, rows)
+    else:
+        raise NotYetImplementedError(
+            f"resident load of column {field.name!r} type {t}"
+        )
+    if validity is not None:
+        col.validity_plane = _pack_plane(validity.astype(np.uint32), 1, tile)
+    return col
 
 
 def load_resident(
-    path: str, columns: Optional[Sequence[str]] = None, tile: Optional[int] = None
+    path: str,
+    columns: Optional[Sequence[str]] = None,
+    tile: Optional[int] = None,
 ) -> ResidentTable:
-    """Load a file's bitpacked/dict columns as a compressed-in-HBM table.
+    """Load a file's columns as a compressed-in-HBM resident table.
 
-    Every loaded column must use one uniform width across pages (values or
-    dict codes); HBM cost is b/32 of the decoded size per column (+ the
-    KB-scale dictionaries).
+    Decodes through the complete host read path (every page codec the
+    format produces — the chooser's full matrix, tail pages, mixed
+    dict/plain columns) and re-encodes into packed planes; HBM cost is
+    bits/32 of the decoded size per column plus KB-scale dictionaries.
+    Unsupported TYPES (nested, decimal, float16) raise — resident loading
+    is an opt-in fast representation, never silently wrong.
     """
-    import jax.numpy as jnp
+    from ..api import read_table
 
-    from ..kernels.bitunpack_pallas import TILE3D, transpose_words_host_tiled
+    from ..kernels.bitunpack_pallas import TILE3D
 
-    with open(path, "rb") as f:
-        schema = infer_schema(f)
-        metas = read_meta(f)
-    file_bytes = np.memmap(path, dtype=np.uint8, mode="r")
     tile = tile or TILE3D
+    table = read_table(path, columns=list(columns) if columns else None)
     out: Dict[str, ResidentColumn] = {}
     n_rows = None
     slots = None
-    i = 0
-    for field in schema:
-        n = n_leaf_columns(field.type)
-        meta = metas[i]
-        i += n
+    for field in table.schema:
         if columns is not None and field.name not in columns:
             continue
-        np_dtype = np.dtype(field.type.to_pandas_dtype()) if pa.types.is_integer(
-            field.type
-        ) else None
-        if np_dtype is None:
-            raise NotYetImplementedError(
-                f"resident load of non-integer column {field.name!r}"
-            )
-        words, b, rows, gdict = _column_packed_words(
-            file_bytes, meta, field, np_dtype
-        )
-        wt3 = jnp.asarray(transpose_words_host_tiled(words.reshape(-1), b, tile))
-        dictionary = dict_host = None
-        if gdict is not None:
-            dictionary = jnp.asarray(gdict.astype(np.int32))
-            dict_host = gdict.astype(np.int64)
-        col = ResidentColumn(
-            field.name, wt3, b, rows, dictionary, dict_host
-        )
+        col = _encode_resident_column(field, table.column(field.name), tile)
         if n_rows is None:
-            n_rows = rows
-            slots = col.tiled_slots
-        elif rows != n_rows or col.tiled_slots != slots:
+            n_rows, slots = col.length, col.tiled_slots
+        elif col.length != n_rows or col.tiled_slots != slots:
             raise OutOfSpecError(
                 f"resident columns disagree on row grid: {field.name!r}"
             )

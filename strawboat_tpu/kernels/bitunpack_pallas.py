@@ -274,21 +274,38 @@ def _plane_kernel_natural(b: int, seed_ref, wt_ref, out_ref):
     )
 
 
+def _rowloop_kernel_natural(b: int, seed_ref, wt_ref, out_ref):
+    """Non-divisor widths: rowloop extract in t order, then the same in-VMEM
+    natural-order rearrangement as the divisor-width kernel."""
+    w = wt_ref[0] ^ seed_ref[0]  # (b, tile)
+    mask = jnp.uint32((1 << b) - 1) if b < 32 else jnp.uint32(0xFFFFFFFF)
+    tile = w.shape[1]
+    rows = []
+    for t in range(32):
+        s = t * b
+        w0, sh = s // 32, s % 32
+        v = w[w0 : w0 + 1, :] >> np.uint32(sh)
+        if sh + b > 32:
+            v = v | (w[w0 + 1 : w0 + 2, :] << np.uint32(32 - sh))
+        rows.append(v & mask)
+    vt = jnp.concatenate(rows, axis=0)  # (32, tile), row index IS t
+    out_ref[0, :, :] = (
+        vt.reshape(32, tile // 4, 4).transpose(1, 0, 2).reshape(tile // 4, 128)
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def bitunpack_pallas_tiled_natural(
     wt3: jax.Array, seed: jax.Array, num_bits: int
 ) -> jax.Array:
     """(n_tiles, b, tile) ^ seed → (n_tiles*tile/4, 128) blocks in NATURAL
-    order: ``result.reshape(-1)`` is the flat natural-order column (padded).
-
-    Divisor widths only (the varwidth/rowloop layouts keep the two-step
-    path)."""
+    order: ``result.reshape(-1)`` is the flat natural-order column (padded)."""
     b = num_bits
-    assert 32 % b == 0, "natural-order kernel: divisor widths only"
     n_tiles, rows, tile = wt3.shape
+    kern = _plane_kernel_natural if 32 % b == 0 else _rowloop_kernel_natural
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            functools.partial(_plane_kernel_natural, b),
+            functools.partial(kern, b),
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
