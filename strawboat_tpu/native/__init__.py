@@ -118,6 +118,22 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.c_void_p,
         ]
+        lib.sb_dict_column_decode.restype = ctypes.c_int
+        lib.sb_dict_column_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -264,6 +280,50 @@ def bp_decode(buf: np.ndarray, pos: int, n_blocks: int):
 
         raise OutOfSpecError("bitpacked page truncated")
     return out, int(end)
+
+
+def dict_column_decode(
+    pages, dict_values: np.ndarray, out: np.ndarray, n_threads: int = 0
+) -> None:
+    """Fused all-DICT column decode: codes + gather, threaded over pages.
+
+    pages: list of (buf u8 array, body offset | None, num_values, row_offset,
+    base, kind) where kind 0 = bitpacked codes at body, 1 = buf points at raw
+    u32 codes, 2 = bitpacked deltas.  ``out`` must be C-contiguous with
+    itemsize in {1,2,4,8} and dtype layout equal to ``dict_values``.
+    """
+    lib = _load()
+    assert lib is not None
+    n = len(pages)
+    bufs = [p[0] for p in pages]
+    buf_ptrs = (ctypes.c_void_p * n)(
+        *[b.ctypes.data_as(ctypes.c_void_p).value for b in bufs]
+    )
+    buf_lens = (ctypes.c_int64 * n)(*[b.size for b in bufs])
+    bodies = (ctypes.c_int64 * n)(*[int(p[1] or 0) for p in pages])
+    n_values = (ctypes.c_int64 * n)(*[int(p[2]) for p in pages])
+    row_offsets = (ctypes.c_int64 * n)(*[int(p[3]) for p in pages])
+    bases = (ctypes.c_int64 * n)(*[int(p[4]) for p in pages])
+    kinds = (ctypes.c_uint8 * n)(*[int(p[5]) for p in pages])
+    rc = lib.sb_dict_column_decode(
+        ctypes.cast(buf_ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        buf_lens,
+        bodies,
+        n_values,
+        row_offsets,
+        bases,
+        ctypes.cast(kinds, ctypes.c_void_p),
+        n,
+        dict_values.ctypes.data_as(ctypes.c_void_p),
+        len(dict_values),
+        dict_values.dtype.itemsize,
+        out.ctypes.data_as(ctypes.c_void_p),
+        n_threads,
+    )
+    if rc != 0:
+        from ..errors import OutOfSpecError
+
+        raise OutOfSpecError(f"native dict column decode failed (rc={rc})")
 
 
 def int_stats_native(values: np.ndarray, validity: Optional[np.ndarray]):

@@ -328,6 +328,100 @@ extern "C" int64_t sb_bp_walk(const uint8_t* buf, int64_t buf_len, int64_t body,
   return p <= buf_len ? p : -1;
 }
 
+// Fused DICT-column decode: per page, decode the u32 index codes
+// (bitpacked / bitpacked-delta / raw) and gather out[row] = dict[code + base]
+// at the output element width, pages spread over a thread pool.  This is the
+// whole hot loop of an all-DICT fixed-width column read in one call — no
+// per-page Python, no materialized global codes array.
+//
+// kinds: 0 = bitpacked codes at bodies[i]; 1 = raw u32 codes (page_bufs[i]
+// points AT the codes, bodies[i] unused); 2 = bitpacked deltas (prefix-sum,
+// reference delta_bp.rs whole-page carry).
+// Returns 0, or a negative error (truncated page / code out of range).
+extern "C" int64_t sb_bp_decode(const uint8_t*, int64_t, int64_t, int64_t,
+                                uint32_t*);
+
+extern "C" int sb_dict_column_decode(
+    const uint8_t** page_bufs, const int64_t* buf_lens, const int64_t* bodies,
+    const int64_t* n_values, const int64_t* row_offsets, const int64_t* bases,
+    const uint8_t* kinds, int64_t n_pages, const void* dict, int64_t dict_len,
+    int width, void* out, int n_threads) {
+  if (n_pages <= 0) return 0;
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads > n_pages) n_threads = (int)n_pages;
+  std::atomic<int64_t> next(0);
+  std::atomic<int> err(0);
+  auto worker = [&]() {
+    std::vector<uint32_t> codes;
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n_pages) break;
+      const int64_t nv = n_values[i];
+      const int64_t n_blocks = (nv + 127) / 128;
+      const uint32_t* cp;
+      if (kinds[i] == 1) {
+        if (buf_lens[i] < nv * 4) { err.store(-1); continue; }
+        cp = (const uint32_t*)page_bufs[i];
+      } else {
+        codes.resize((size_t)n_blocks * 128);
+        int64_t end = sb_bp_decode(page_bufs[i], buf_lens[i], bodies[i],
+                                   n_blocks, codes.data());
+        if (end < 0) { err.store(-2); continue; }
+        if (kinds[i] == 2) {  // sequential deltas, whole-page carry
+          uint32_t acc = 0;
+          for (int64_t k = 0; k < nv; ++k) { acc += codes[k]; codes[k] = acc; }
+        }
+        cp = codes.data();
+      }
+      const int64_t base = bases[i];
+      if (width == 8) {
+        const uint64_t* d = (const uint64_t*)dict;
+        uint64_t* o = (uint64_t*)out + row_offsets[i];
+        for (int64_t k = 0; k < nv; ++k) {
+          int64_t idx = (int64_t)cp[k] + base;
+          if ((uint64_t)idx >= (uint64_t)dict_len) { err.store(-3); break; }
+          o[k] = d[idx];
+        }
+      } else if (width == 4) {
+        const uint32_t* d = (const uint32_t*)dict;
+        uint32_t* o = (uint32_t*)out + row_offsets[i];
+        for (int64_t k = 0; k < nv; ++k) {
+          int64_t idx = (int64_t)cp[k] + base;
+          if ((uint64_t)idx >= (uint64_t)dict_len) { err.store(-3); break; }
+          o[k] = d[idx];
+        }
+      } else if (width == 2) {
+        const uint16_t* d = (const uint16_t*)dict;
+        uint16_t* o = (uint16_t*)out + row_offsets[i];
+        for (int64_t k = 0; k < nv; ++k) {
+          int64_t idx = (int64_t)cp[k] + base;
+          if ((uint64_t)idx >= (uint64_t)dict_len) { err.store(-3); break; }
+          o[k] = d[idx];
+        }
+      } else if (width == 1) {
+        const uint8_t* d = (const uint8_t*)dict;
+        uint8_t* o = (uint8_t*)out + row_offsets[i];
+        for (int64_t k = 0; k < nv; ++k) {
+          int64_t idx = (int64_t)cp[k] + base;
+          if ((uint64_t)idx >= (uint64_t)dict_len) { err.store(-3); break; }
+          o[k] = d[idx];
+        }
+      } else {
+        err.store(-4);
+      }
+    }
+  };
+  if (n_threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return err.load();
+}
+
 // Decode a whole bitpacked page (BitPacker4x layout: per block
 // [u8 num_bits][num_bits*16 bytes], 4 interleaved 32-value lanes, LSB-first)
 // into out[n_blocks*128] u32.  Handles mixed widths in one pass.  Returns the

@@ -87,57 +87,6 @@ def _arrow_fixed_np_dtype(t: pa.DataType) -> Optional[np.dtype]:
     return None
 
 
-def _read_dict_column_batched(
-    dict_jobs, meta, field, np_dtype, validities, nullable, arena
-):
-    """All-DICT column: native one-pass index decode per page + ONE gather.
-
-    The per-page python of the general reader disappears: indices decode in
-    C (mixed block widths in one walk), per-page dictionaries concatenate
-    with base offsets, and a single ``np.take(..., out=...)`` writes the
-    final values buffer (arena-recyclable).
-    """
-    n_rows = int(sum(j[0] for j in dict_jobs))
-    total = n_rows * np_dtype.itemsize
-    out = arena.get(total) if arena is not None else np.empty(total, np.uint8)
-    out_typed = out.view(np_dtype)
-    dicts = [j[3] for j in dict_jobs]
-    bases = np.zeros(len(dicts), dtype=np.int64)
-    bases[1:] = np.cumsum([len(d) for d in dicts[:-1]])
-    all_dict = np.concatenate(dicts) if len(dicts) > 1 else dicts[0]
-    codes = np.empty(n_rows, dtype=np.int64)
-    row = 0
-    for (num_values, buf, ibody, _d, (is_delta, raw_idx)), base in zip(
-        dict_jobs, bases
-    ):
-        if raw_idx is not None:
-            vals = raw_idx[:num_values]
-        else:
-            n_blocks = (num_values + 127) // 128
-            vals, _end = native.bp_decode(buf, ibody, n_blocks)
-            vals = vals[:num_values]
-            if is_delta:  # sequential deltas, whole-page carry (delta_bp.rs)
-                vals = np.cumsum(vals, dtype=np.uint32)
-        np.add(vals, base, out=codes[row : row + num_values])
-        row += num_values
-    try:
-        np.take(all_dict, codes, out=out_typed)
-    except IndexError as e:
-        raise OutOfSpecError(f"dict index out of range: {e}") from None
-    null_bitmap = None
-    if nullable and any(v is not None for v in validities):
-        vbits = np.concatenate(
-            [
-                np.ones(p.num_values, dtype=bool) if v is None else v
-                for v, p in zip(validities, meta.pages)
-            ]
-        )
-        null_bitmap = pa.py_buffer(np.packbits(vbits, bitorder="little").tobytes())
-    return pa.Array.from_buffers(
-        field.type, n_rows, [null_bitmap, pa.py_buffer(out)]
-    )
-
-
 def _parse_dict_sets(buf: np.ndarray, pos: int, count: int) -> pa.Array:
     """Binary dict page ``[u64 len][bytes]*count`` set list → pa.binary
     (reference binary/dict.rs:90-99; dictionaries are KB-scale)."""
@@ -271,7 +220,15 @@ def read_column_fast(
     field: pa.Field,
     arena: Optional[ReadArena] = None,
 ) -> Optional[pa.Array]:
-    """All-raw-codec fixed-width column → pa.Array, or None if ineligible.
+    """Planned fixed-width column read → pa.Array, or None if ineligible.
+
+    Covers columns whose pages mix any of: common-codec (None/LZ4/Zstd/
+    Snappy) raw values, BITPACKING / DELTA_BITPACKING values, ONE_VALUE,
+    and DICT pages (bitpacked / delta / raw-codec index subpages).  Raw runs
+    decompress on native threads directly into the final buffer; DICT pages
+    take ONE fused native call (codes + gather, threaded over pages) against
+    the concatenated page dictionaries.  Anything else (RLE, FREQ) returns
+    None and the general reader handles it.
 
     With ``arena``, the values buffer is drawn from (and eventually recycled
     through) the arena — see :class:`ReadArena` for the aliasing contract.
@@ -279,11 +236,17 @@ def read_column_fast(
     np_dtype = _arrow_fixed_np_dtype(field.type)
     if np_dtype is None or not native.available():
         return None
+    if not hasattr(native._load(), "sb_dict_column_decode"):  # stale .so
+        return None
+    width = np_dtype.itemsize
     nullable = bool(field.nullable)
-    jobs = []  # (codec_int, in_slice, out_len)
-    dict_jobs = []  # (num_values, buf, index_body, dict_values)
+    raw_jobs = []  # (codec_int, in_slice, row, out_len)
+    bp_jobs = []  # (buf, body, num_values, row, is_delta)
+    dict_jobs = []  # (buf_or_codes, body|None, num_values, row, dvals, kind)
+    one_jobs = []  # (value_bytes, num_values, row)
     validities = []  # per page: None (all valid) | bool array
     pos = meta.offset
+    row = 0
     for page in meta.pages:
         page_end = pos + page.length
         buf = file_bytes[pos:page_end]
@@ -292,16 +255,12 @@ def read_column_fast(
             v, p = read_validity(buf, 0, page.num_values)
             validities.append(v)
         codec, csize, _us, body = read_header(buf, p)
-        if codec == Compression.DICT and not jobs:
-            # adaptive files pick DICT constantly (TPC-H: 8/10 lineitem
-            # columns) — decode the bitpacked index subpage in one native
-            # pass per page and defer ONE global gather for the column
+        if codec == Compression.DICT:
             icodec, icsize, _ius, ibody = read_header(buf, body)
-            if icodec in (
-                Compression.BITPACKING,
-                Compression.DELTA_BITPACKING,
-            ):
-                idx_spec = (icodec == Compression.DELTA_BITPACKING, None)
+            if icodec == Compression.BITPACKING:
+                spec = (buf, ibody, 0)
+            elif icodec == Compression.DELTA_BITPACKING:
+                spec = (buf, ibody, 2)
             elif icodec.raw_mode:
                 # short tail pages are BP-ineligible; their u32 indices ride
                 # a raw codec — decompress inline (one small page)
@@ -312,7 +271,11 @@ def read_column_fast(
                     buf[ibody : ibody + icsize].tobytes(),
                     page.num_values * 4,
                 )
-                idx_spec = (False, np.frombuffer(raw, np.uint32))
+                spec = (
+                    np.frombuffer(raw, np.uint8, page.num_values * 4),
+                    None,
+                    1,
+                )
             else:
                 return None
             vpos = ibody + icsize
@@ -321,39 +284,76 @@ def read_column_fast(
                 return None  # all-null page: let the general reader handle
             dvals = np.frombuffer(buf, np_dtype, count, vpos + 4)
             dict_jobs.append(
-                (page.num_values, buf, ibody, dvals, idx_spec)
+                (spec[0], spec[1], page.num_values, row, dvals, spec[2])
             )
-            pos = page_end
-            continue
-        if not codec.raw_mode or dict_jobs:
+        elif codec in (Compression.BITPACKING, Compression.DELTA_BITPACKING):
+            if width != 4 or np_dtype.kind not in "iu":
+                return None  # reference BP is 4-byte-int-typed (bp.rs:92-100)
+            bp_jobs.append(
+                (buf, body, page.num_values, row,
+                 codec == Compression.DELTA_BITPACKING)
+            )
+        elif codec == Compression.ONE_VALUE:
+            one_jobs.append(
+                (bytes(buf[body : body + width]), page.num_values, row)
+            )
+        elif codec.raw_mode:
+            raw_jobs.append(
+                (int(codec), buf[body : body + csize], row,
+                 page.num_values * width)
+            )
+        else:
             return None
-        jobs.append(
-            (int(codec), buf[body : body + csize], page.num_values * np_dtype.itemsize)
-        )
+        row += page.num_values
         pos = page_end
-    if dict_jobs:
-        return _read_dict_column_batched(
-            dict_jobs, meta, field, np_dtype, validities, nullable, arena
-        )
-    n_rows = int(sum(p.num_values for p in meta.pages))
-    out_lens = np.asarray([j[2] for j in jobs], dtype=np.int64)
-    offsets = np.zeros(len(jobs) + 1, dtype=np.int64)
-    np.cumsum(out_lens, out=offsets[1:])
-    total = int(offsets[-1])
-    out = arena.get(total) if arena is not None else np.empty(total, dtype=np.uint8)
-    i, n = 0, len(jobs)
+    n_rows = row
+    total = n_rows * width
+    out = arena.get(total) if arena is not None else np.empty(total, np.uint8)
+    out_typed = out.view(np_dtype)
+    # raw runs: threaded native decompress straight into the final buffer
+    i, n = 0, len(raw_jobs)
     while i < n:
         j = i + 1
-        while j < n and jobs[j][0] == jobs[i][0]:
+        while j < n and raw_jobs[j][0] == raw_jobs[i][0]:
             j += 1
         native.decompress_batch_into(
-            jobs[i][0],
-            [c[1] for c in jobs[i:j]],
+            raw_jobs[i][0],
+            [c[1] for c in raw_jobs[i:j]],
             out,
-            offsets[i:j],
-            out_lens[i:j],
+            [c[2] * width for c in raw_jobs[i:j]],
+            [c[3] for c in raw_jobs[i:j]],
         )
         i = j
+    # plain bitpacked / delta pages: native block walk + widen
+    for buf, body, nv, r, is_delta in bp_jobs:
+        n_blocks = (nv + 127) // 128
+        vals, _end = native.bp_decode(buf, body, n_blocks)
+        vals = vals[:nv]
+        if is_delta:
+            vals = np.cumsum(vals, dtype=np.uint32)
+        out_typed[r : r + nv] = vals.view(np.int32) if np_dtype.kind != "u" else vals
+    # one-value pages: broadcast fill
+    for vb, nv, r in one_jobs:
+        out_typed[r : r + nv] = np.frombuffer(vb, np_dtype, 1)[0]
+    # DICT pages: one fused native call — per-page codes decode + gather
+    # against the concatenated dictionaries, threaded over pages
+    if dict_jobs:
+        dicts = [j[4] for j in dict_jobs]
+        bases = np.zeros(len(dicts), dtype=np.int64)
+        bases[1:] = np.cumsum([len(d) for d in dicts[:-1]])
+        all_dict = (
+            np.ascontiguousarray(np.concatenate(dicts))
+            if len(dicts) > 1
+            else np.ascontiguousarray(dicts[0])
+        )
+        native.dict_column_decode(
+            [
+                (b, body, nv, r, base, kind)
+                for (b, body, nv, r, _d, kind), base in zip(dict_jobs, bases)
+            ],
+            all_dict,
+            out_typed,
+        )
     null_bitmap = None
     if nullable and any(v is not None for v in validities):
         vbits = np.concatenate(

@@ -70,3 +70,100 @@ def test_masked_minmax_float_at_exact_capacity():
         for i in range(2)
     }
     assert by_key[1] == (2.5, 2.5)
+
+
+def test_mixed_codec_column_fast_path(tmp_path):
+    """A column mixing DICT / BITPACKING / ONE_VALUE / raw pages must decode
+    on the planned fast path (not fall back to the per-page reader) and
+    match the source exactly."""
+    import pyarrow as pa
+
+    from strawboat_tpu import native
+    from strawboat_tpu.api import read_table, write_file
+    from strawboat_tpu.codecs import WriteOptions
+    from strawboat_tpu.constants import Compression
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(0)
+    page = 512
+    parts = [
+        rng.integers(0, 4, page) * 1_000_003,        # DICT page
+        np.full(page, 77),                           # ONE_VALUE page
+        rng.integers(-(1 << 62), 1 << 62, page),     # raw (LZ4) page
+        rng.integers(0, 3, page) * 999_999_999,      # DICT page again
+    ]
+    v = np.concatenate(parts)
+    t = pa.table(
+        {"m": pa.array(v)},
+        schema=pa.schema([pa.field("m", pa.int64(), nullable=False)]),
+    )
+    p = str(tmp_path / "mix.str")
+    write_file(
+        p,
+        t,
+        options=WriteOptions(
+            default_compression=Compression.LZ4,
+            default_compress_ratio=1.0,
+            max_page_size=page,
+        ),
+    )
+    # confirm the file really has heterogeneous page codecs
+    from strawboat_tpu.codecs import read_header
+    from strawboat_tpu.read.reader import read_meta
+
+    with open(p, "rb") as f:
+        metas = read_meta(f)
+    codecs = set()
+    pos = metas[0].offset
+    fb = np.memmap(p, dtype=np.uint8, mode="r")
+    for pg in metas[0].pages:
+        c, _cs, _us, _b = read_header(fb[pos : pos + pg.length], 0)
+        codecs.add(c.name)
+        pos += pg.length
+    assert len(codecs) > 1, f"expected a codec mix, got {codecs}"
+    # fast path handles it directly
+    from strawboat_tpu.read.fast import read_column_fast
+
+    schema = t.schema
+    arr = read_column_fast(fb, metas[0], schema.field("m"))
+    assert arr is not None, "mixed-codec column fell off the fast path"
+    assert arr.to_pylist() == v.tolist()
+    # and the public API agrees
+    back = read_table(p)
+    assert back.column("m").to_pylist() == v.tolist()
+
+
+def test_bp_int32_column_fast_path(tmp_path):
+    """Plain BITPACKING (4-byte) pages decode on the fast path."""
+    import pyarrow as pa
+
+    from strawboat_tpu import native
+    from strawboat_tpu.api import read_table, write_file
+    from strawboat_tpu.codecs import WriteOptions
+    from strawboat_tpu.constants import Compression
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(1)
+    v = rng.integers(0, 1 << 14, 4096).astype(np.int32)
+    t = pa.table(
+        {"b": pa.array(v)},
+        schema=pa.schema([pa.field("b", pa.int32(), nullable=False)]),
+    )
+    p = str(tmp_path / "bp.str")
+    write_file(
+        p,
+        t,
+        options=WriteOptions(
+            default_compression=Compression.LZ4,
+            default_compress_ratio=1.0,
+            max_page_size=1024,
+        ),
+    )
+    back = read_table(p)
+    assert back.column("b").to_pylist() == v.tolist()
