@@ -22,7 +22,9 @@ Notes vs the host writer:
 - boolean columns pack to bitmap bytes ON DEVICE (8× smaller download) when
   the page grid is byte-aligned; raw pages slice the packed stream with no
   per-row host work.  Non-byte-aligned grids fall back to the host encoder.
-- list columns raise (no device layout for re-encode yet).
+- list columns re-encode through the host Dremel machinery over the
+  device-fetched offsets (nested preludes + leaf pages, write/nested.py) —
+  the value bytes still come from the device scan.
 - in-band zone maps are emitted exactly like the host writer
   (``zone_maps=True``): numerics from the device stats reduction, booleans
   from device counts, decimals over the unscaled int64 domain.
@@ -207,10 +209,6 @@ def write_device_table(path_or_file, table, options: WriteOptions = None):
 
     fields = []
     for name, col in table.columns.items():
-        if getattr(col, "offsets", None) is not None:
-            raise NotYetImplementedError(
-                f"device write of list column {name!r}"
-            )
         dtype = col.dtype
         if dtype is None:
             dtype = pa.from_numpy_dtype(np.asarray(col.values[:1]).dtype)
@@ -262,11 +260,38 @@ def _encode_column_pages(col, field, page_size: int, options: WriteOptions):
     selection (numerics) or a cheap host reduction (decimal/boolean), so a
     device-rewritten file keeps its pruning — the point of the reference's
     stat surface (src/stat.rs:63-152)."""
-    is_string = col.dictionary is not None
     np_validity = None if col.validity is None else np.asarray(col.validity)
     n = len(col)
     if n == 0:  # host writer emits zero pages for an empty chunk
         return
+
+    if getattr(col, "offsets", None) is not None:
+        # list column: the offsets are already device-resident; rebuild the
+        # exact arrow array once and emit nested preludes + leaf pages with
+        # the host writer's Dremel machinery (write/nested.py over the
+        # fetched offsets — reference serialize.rs:135-232 covers all
+        # nesting host-side; the VALUE bytes still came from the device)
+        from ..columns import from_arrow
+        from ..exec.scan import _list_column_to_arrow
+        from .nested import slice_nested, to_nested
+        from .serialize import write_page
+
+        arr = _list_column_to_arrow(col)
+        host_col = from_arrow(arr)
+        pairs = to_nested(host_col, field)
+        if len(pairs) != 1:
+            raise NotYetImplementedError(
+                f"device write of multi-leaf nested column {col.name!r}"
+            )
+        nests, leaf = pairs[0]
+        for off in range(0, n, page_size):
+            ln = min(page_size, n - off)
+            s_nests, s_leaf = slice_nested(nests, leaf, off, ln)
+            body, num_values = write_page(s_nests, s_leaf, options)
+            yield body, num_values, None
+        return
+
+    is_string = col.dictionary is not None
 
     if is_string:
         codes = np.asarray(col.values).astype(np.int64)
