@@ -422,77 +422,64 @@ def bench_resident_scan(tmpdir: str):
     words_flat = np.ascontiguousarray(np.concatenate(words_parts)).reshape(-1)
     in_bytes = words_flat.size * 4
 
+    from strawboat_tpu.exec.resident import _pack_plane
     from strawboat_tpu.kernels.bitunpack_pallas import (
-        bitunpack_pallas_tiled_natural,
+        TILE3D,
         bitunpack_pallas_tiled_seeded,
-        bitunpack_tiled_to_flat,
         transpose_words_host_tiled,
     )
 
-    # a RESIDENT table keeps its packed pages in the kernel's tiled layout
-    # (relayout happens once at load, like the one-off host transpose here);
-    # steady state per scan = natural-order unpack (reorder in VMEM — HBM
-    # transposes of the value interleave have 16-byte granularity and run
-    # ~20x off the streaming ceiling) + predicate + reduce, all on device
+    # a RESIDENT table packs its planes PRE-PERMUTED at load (one host
+    # scatter), so the tiled kernel's t-major output IS natural row order —
+    # steady state per scan = the streaming unpack + predicate + reduce,
+    # with NO reorder of any kind (round 3 paid an HBM 16B-granularity
+    # transpose here: 4 GB/s vs ~300 tiled)
     wt3 = jnp.asarray(transpose_words_host_tiled(words_flat, b))
     wt3.block_until_ready()
+    wt3p = _pack_plane(vals.view(np.uint32), b, TILE3D)  # production layout
+    wt3p.block_until_ready()
 
-    def step_natural(wt3, seed):
-        flat = bitunpack_pallas_tiled_natural(wt3, seed, b).reshape(-1)[
+    def step_natural(w, seed):
+        out = bitunpack_pallas_tiled_seeded(w, seed, b).reshape(-1)[
             :n
         ].astype(jnp.int32)
         return jnp.sum(
-            jnp.where((flat >= 1000) & (flat < 30000), flat, 0),
-            dtype=jnp.int64,
-        )
-
-    def step_twostep(wt3, seed):
-        out3 = bitunpack_pallas_tiled_seeded(wt3, seed, b)
-        flat = bitunpack_tiled_to_flat(out3, b)[:n].astype(jnp.int32)
-        return jnp.sum(
-            jnp.where((flat >= 1000) & (flat < 30000), flat, 0),
+            jnp.where((out >= 1000) & (out < 30000), out, 0),
             dtype=jnp.int64,
         )
 
     # order-invariant consumption: filter+aggregate straight over the tiled
-    # kernel output.  The t-major permutation depends only on the lane
-    # layout (lane = 4*block + l), NOT on the bit width, so same-grid
-    # columns stay row-aligned under it — aggregates/filters/joins are
-    # permutation-invariant; only materialization needs the natural-order
-    # restore, which is HBM-granularity-bound (16B strides, ~20 GB/s).
-    def step_tiled(wt3, seed):
-        out = bitunpack_pallas_tiled_seeded(wt3, seed, b).astype(jnp.int32)
+    # kernel output (padding slots included in the stream, masked by value
+    # range) — the shape every resident aggregate runs.
+    def step_tiled(w, seed):
+        out = bitunpack_pallas_tiled_seeded(w, seed, b).astype(jnp.int32)
         m = (out >= 1000) & (out < 30000)
         return jnp.sum(jnp.where(m, out, 0), dtype=jnp.int64)
 
-    try:
-        probe = jax.jit(step_natural)(wt3, jnp.uint32(0))
-        probe.block_until_ready()
-        step = step_natural
-    except Exception:
-        step = step_twostep
-
     def make_run(stepfn):
         @jax.jit
-        def run(wt3, n_iter):
+        def run(w, n_iter):
             def body(i, acc):
-                return acc + stepfn(wt3, (acc & 1).astype(jnp.uint32))
+                return acc + stepfn(w, (acc & 1).astype(jnp.uint32))
 
             return jax.lax.fori_loop(0, n_iter, body, jnp.int64(0))
 
         return run
 
     run_tiled = make_run(step_tiled)
-    run = make_run(step)
-    wdev = wt3
+    run = make_run(step_natural)
 
     try:
-        float(run(wdev, 1))  # compile + correctness smoke
+        got = float(run(wt3p, 1))  # compile + correctness smoke
+        sel = (vals >= 1000) & (vals < 30000)
+        exp = float(vals[sel].astype(np.int64).sum())
+        assert got == exp, f"natural-order sum wrong: {got} != {exp}"
+        float(run_tiled(wt3, 1))
     except Exception as e:  # noqa: BLE001
         emit("resident_scan_bandwidth", 0.0, "GB/s", 0.0, note=str(e)[:160])
         return
 
-    def measure(runner, n_small, n_big, rounds=5):
+    def measure(runner, wdev, n_small, n_big, rounds=5):
         def once(k):
             t0 = time.perf_counter()
             float(runner(wdev, k))
@@ -506,8 +493,8 @@ def bench_resident_scan(tmpdir: str):
             dt = min(dt, max((t_big - t_small) / (n_big - n_small), 1e-9))
         return dt
 
-    dt = measure(run, 2, 14)
-    dt_tiled = measure(run_tiled, 4, 36)
+    dt = measure(run, wt3p, 4, 36)
+    dt_tiled = measure(run_tiled, wt3, 4, 36)
 
     # parquet-C++ host read of the same column (the CPU alternative)
     ppath = os.path.join(tmpdir, "resident.parquet")
@@ -529,8 +516,9 @@ def bench_resident_scan(tmpdir: str):
         gbps,
         "GB/s",
         gbps / pq_gbps,
-        unit_note="decoded bytes/s incl. filter+sum, NATURAL row order "
-        "(the 4-lane value interleave restore is HBM-granularity-bound)",
+        unit_note="decoded bytes/s incl. filter+sum, NATURAL row order — "
+        "the resident plane layout pre-permutes at load so natural order "
+        "falls straight out of the streaming kernel (no restore pass)",
         parquet_host_read_gbps=round(pq_gbps, 3),
         packed_mb=round(in_bytes / 1e6, 1),
     )
@@ -540,10 +528,9 @@ def bench_resident_scan(tmpdir: str):
             gbps_tiled,
             "GB/s",
             gbps_tiled / pq_gbps,
-            unit_note="same scan consumed in kernel-tiled order — the "
-            "permutation is bit-width-independent, so same-grid columns "
-            "stay row-aligned; order-invariant consumers (filter, "
-            "aggregate, join) skip the restore entirely",
+            unit_note="same scan consumed straight off the tiled kernel "
+            "output (order-invariant aggregate shape; padding masked "
+            "by value range)",
         )
 
 

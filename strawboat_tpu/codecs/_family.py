@@ -64,7 +64,9 @@ class FamilyStats:
 
 def gen_stats(values: np.ndarray, validity: Optional[np.ndarray]) -> FamilyStats:
     n = len(values)
-    if n > 65536 and values.dtype.kind in "iu":
+    # default pages are EXACTLY 65536 rows — the gate must include them
+    # (one-pass C stats beat numpy's unique sort from a few KB up)
+    if n >= 4096 and values.dtype.kind in "iu":
         from .. import native
 
         fast = native.int_stats_native(values, validity)
@@ -205,6 +207,16 @@ def one_value_decode(buf, pos: int, length: int, dtype: np.dtype) -> Tuple[np.nd
 def factorize_first_occurrence(values: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """codes + uniques in first-occurrence order (DictEncoder interning)."""
     keys = bit_view(values)
+    if keys.dtype.itemsize in (4, 8) and len(keys) >= 4096:
+        # one C pass (open-addressing intern) — numpy's unique+argsort pair
+        # was the write path's second-hottest loop
+        from .. import native
+
+        ukind = np.uint32 if keys.dtype.itemsize == 4 else np.uint64
+        r = native.factorize(keys.view(ukind))
+        if r is not None:
+            codes, uniq_bits = r
+            return codes.astype(np.int64), uniq_bits.view(values.dtype)
     uniq, first_idx, inv = np.unique(keys, return_index=True, return_inverse=True)
     order = np.argsort(first_idx, kind="stable")
     rank = np.empty(len(uniq), dtype=np.int64)

@@ -30,12 +30,14 @@ writer's chooser emits are covered by construction):
 * ``bool``   — one 1-bit plane.
 * nullable   — a 1-bit validity plane per column.
 
-Row alignment: the tiled permutation ``value -> (tile, t, lane)`` depends
-only on the lane layout (lane = 4*block + l) and tile padding — NOT on the
-bit width — so every plane of every column loaded with the same row count
-and tile size is row-aligned in tiled order, and cross-column
-predicates/aggregations are exact.  The natural row index of every tiled
-slot is pure iota arithmetic (no stored permutation).
+Row order: packing PRE-PERMUTES values so the tiled kernel's t-major
+output IS natural row order (the pack→unpack pipeline is a fixed
+width-independent permutation; feeding its inverse at load costs one host
+scatter).  Tiled slot s therefore holds natural row s for every plane of
+every column — cross-column predicates/aggregations align trivially,
+padding is the tail, and NATURAL-order materialization runs at the same
+streaming rate as tiled consumption (round 3's 70x natural-order cliff —
+an HBM 16-byte-granularity transpose — is structurally gone).
 
 Query access paths:
 
@@ -149,22 +151,23 @@ def _rows_to_t_major(out3, b: int):
     ).reshape(n_tiles, 32, tile)
 
 
-def _natural_index_tiled(n_tiles: int, tile: int):
-    """Natural row index of every tiled slot, as fused iota arithmetic.
+def _slot_source_index(n_tiles: int, tile: int) -> np.ndarray:
+    """Input index feeding tiled output slot s, for the pack→kernel→t-major
+    pipeline (host numpy; used ONCE at load to pre-permute values).
 
     slot (tile_i, t, lane): lane_global = tile_i*tile + lane = 4*blk + l;
-    natural = 128*blk + 4*t + l — independent of the bit width.
-    """
-    import jax
-    import jax.numpy as jnp
+    source = 128*blk + 4*t + l — independent of the bit width.
 
+    Resident packing SCATTERS values against this map, so decoded tiled
+    order IS natural row order — the "natural-order restore" disappears
+    entirely (the r3 cliff: an HBM-side 16-byte-granularity transpose, and
+    the in-VMEM reorder kernel does not lower through the remote Mosaic).
+    """
     shape = (n_tiles, 32, tile)
-    ti = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    t = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    ti, t, lane = np.indices(shape, sparse=True)
     lane_g = ti * tile + lane
     nat = 128 * (lane_g // 4) + 4 * t + (lane_g % 4)
-    return nat.reshape(-1)
+    return np.broadcast_to(nat, shape).reshape(-1)
 
 
 def _unpack_plane_tiled(wt3, bits: int):
@@ -176,38 +179,6 @@ def _unpack_plane_tiled(wt3, bits: int):
     out3 = bitunpack_pallas_tiled_seeded(wt3, jnp.uint32(0), bits)
     out3 = _rows_to_t_major(out3, bits)
     return out3.reshape(-1)
-
-
-_NATURAL_BITS_OK: Dict[int, bool] = {}  # memoized Mosaic support per width
-
-
-def _unpack_plane_natural(wt3, bits: int):
-    """One packed plane → flat uint32 values in NATURAL row order (padded).
-
-    Uses the in-VMEM reorder kernel (one contiguous HBM write); falls back
-    to unpack + XLA restore where Mosaic can't lower the shape cast
-    (CPU tests, exotic widths).  Failures memoize per width — jax does not
-    cache FAILED pallas compiles, and retrying pays the (remote) compile
-    failure on every call."""
-    import jax.numpy as jnp
-
-    from ..kernels.bitunpack_pallas import (
-        bitunpack_pallas_tiled_natural,
-        bitunpack_pallas_tiled_seeded,
-        bitunpack_tiled_to_flat,
-    )
-
-    if _NATURAL_BITS_OK.get(bits, True):
-        try:
-            out = bitunpack_pallas_tiled_natural(
-                wt3, jnp.uint32(0), bits
-            ).reshape(-1)
-            _NATURAL_BITS_OK[bits] = True
-            return out
-        except Exception:
-            _NATURAL_BITS_OK[bits] = False
-    out3 = bitunpack_pallas_tiled_seeded(wt3, jnp.uint32(0), bits)
-    return bitunpack_tiled_to_flat(out3, bits)
 
 
 @dataclass
@@ -232,25 +203,19 @@ class ResidentTable:
         n_tiles, _b, tile = c.planes[0][0].shape
         return n_tiles, tile
 
-    def _nat(self):
-        n_tiles, tile = self._grid()
-        return _natural_index_tiled(n_tiles, tile)
-
     def mask_tiled(self):
-        """Padding-alignment mask (True = real row), computed on the fly."""
-        return self._nat() < self.num_rows
-
-    def natural_slot_index(self):
-        """slot index of natural row i (inverse of the tiled permutation) —
-        pure iota arithmetic, no stored permutation."""
+        """Padding mask (True = real row).  The load-time pre-permutation
+        makes tiled slot s hold natural row s, so padding is the tail."""
         import jax.numpy as jnp
 
-        _n_tiles, tile = self._grid()
-        i = jnp.arange(self.num_rows, dtype=jnp.int32)
-        blk, r = i // 128, i % 128
-        t, l = r // 4, r % 4
-        lane_g = 4 * blk + l
-        return (lane_g // tile) * (32 * tile) + t * tile + (lane_g % tile)
+        return jnp.arange(self.tiled_slots, dtype=jnp.int32) < self.num_rows
+
+    def natural_slot_index(self):
+        """slot of natural row i — the IDENTITY under the pre-permuted
+        packing (kept for callers that need an index array)."""
+        import jax.numpy as jnp
+
+        return jnp.arange(self.num_rows, dtype=jnp.int32)
 
     # -- decode --------------------------------------------------------
 
@@ -327,20 +292,17 @@ class ResidentTable:
         return _unpack_plane_tiled(c.validity_plane, 1) != 0
 
     def decode_natural(self, name: str, with_dict: bool = True):
-        """Column values in NATURAL row order (true length), via the in-VMEM
-        reorder kernel — no HBM-granularity transpose."""
-        c = self.columns[name]
-        vals = [
-            _unpack_plane_natural(wt3, bits)[: self.num_rows]
-            for wt3, bits in c.planes
-        ]
-        return self._combine(c, vals, with_dict, c.dictionary)
+        """Column values in NATURAL row order (true length).
+
+        Free under the pre-permuted packing: tiled slot s IS natural row s,
+        so this is ``decode_tiled`` truncated — the same streaming kernel
+        rate, no reorder of any kind (the r3 70x natural-order cliff is
+        structurally gone)."""
+        return self.decode_tiled(name, with_dict)[: self.num_rows]
 
     def validity_natural(self, name: str):
-        c = self.columns[name]
-        if c.validity_plane is None:
-            return None
-        return _unpack_plane_natural(c.validity_plane, 1)[: self.num_rows] != 0
+        v = self.validity_tiled(name)
+        return None if v is None else v[: self.num_rows]
 
     # -- whole-table views ---------------------------------------------
 
@@ -606,20 +568,42 @@ class ResidentTable:
 # ---------------------------------------------------------------------------
 
 
+_SLOT_MAP_CACHE: Dict[Tuple[int, int], np.ndarray] = {}
+
+
+def _slot_map(n_tiles: int, tile: int) -> np.ndarray:
+    key = (n_tiles, tile)
+    hit = _SLOT_MAP_CACHE.get(key)
+    if hit is None:
+        hit = _SLOT_MAP_CACHE[key] = _slot_source_index(n_tiles, tile)
+    return hit
+
+
 def _pack_plane(vals: np.ndarray, bits: int, tile: int):
-    """(n,) uint32 values (< 2^bits) → (n_tiles, bits, tile) device words."""
+    """(n,) uint32 values (< 2^bits) → (n_tiles, bits, tile) device words,
+    PRE-PERMUTED so the tiled unpack emits natural row order directly."""
     import jax.numpy as jnp
 
     from ..kernels.bitunpack_pallas import transpose_words_host_tiled
     from ..util.bits import pack_blocks
 
+    assert tile % 512 == 0, "tile must be a LANE_TILE multiple"
     bits = max(bits, 1)
-    pad = (-len(vals)) % 128
-    if pad or not vals.flags.c_contiguous:
-        vals = np.concatenate([vals, np.zeros(pad, np.uint32)])
-    if len(vals) == 0:
-        vals = np.zeros(128, np.uint32)
-    words = pack_blocks(vals.reshape(-1, 128), bits)
+    n = max(len(vals), 1)
+    lanes = (-(-n // 128)) * 4  # blocks * 4
+    lanes_final = -(-lanes // tile) * tile
+    slots = lanes_final * 32
+    n_tiles = lanes_final // tile
+    src = _slot_map(n_tiles, tile)
+    padded = (
+        vals
+        if len(vals) == slots
+        else np.concatenate([vals, np.zeros(slots - len(vals), np.uint32)])
+    )
+    # output slot s reads pack-input position src[s]; want output[s] = row s
+    feed = np.empty(slots, dtype=np.uint32)
+    feed[src] = padded
+    words = pack_blocks(feed.reshape(-1, 128), bits)
     return jnp.asarray(transpose_words_host_tiled(words.reshape(-1), bits, tile))
 
 
@@ -657,6 +641,27 @@ def _try_dict(vals: np.ndarray):
     return uniq, inv.astype(np.uint32)
 
 
+def _try_dict_int(vals: np.ndarray, vmin: int, vmax: int):
+    """Integer dictionary without the O(n log n) sort when the value SPAN is
+    small: presence bitmap over [vmin, vmax] + rank table — one O(n) pass
+    (np.unique's sort + return_inverse cumsum dominate resident load time
+    otherwise)."""
+    span = vmax - vmin
+    if len(vals) == 0:
+        return None
+    if span >= (1 << 24):  # rank table would outweigh the win
+        return _try_dict(vals)
+    offs = (vals - np.int64(vmin)).astype(np.int64)
+    presence = np.zeros(span + 1, dtype=bool)
+    presence[offs] = True
+    uniq_off = np.flatnonzero(presence)
+    if uniq_off.size > _MAX_DICT:
+        return None
+    rank = np.empty(span + 1, dtype=np.uint32)
+    rank[uniq_off] = np.arange(uniq_off.size, dtype=np.uint32)
+    return (uniq_off + vmin).astype(np.int64), rank[offs]
+
+
 def _bits_of(x: int) -> int:
     return max(int(x).bit_length(), 1)
 
@@ -672,7 +677,7 @@ def _encode_int(name, vals: np.ndarray, tile: int, arrow_type, rows):
     span_bits = _bits_of(vmax - vmin)  # python ints: no wrap
     offset = 0 if vmin >= 0 and vmax < (1 << 31) else vmin
     plain_bits = span_bits if offset else _bits_of(vmax)
-    d = _try_dict(vals)
+    d = _try_dict_int(vals, vmin, vmax)
     if d is not None:
         uniq, codes = d
         code_bits = _bits_of(max(len(uniq) - 1, 1))

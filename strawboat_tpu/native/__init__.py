@@ -118,6 +118,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.c_void_p,
         ]
+        for fn in (lib.sb_factorize_u64, lib.sb_factorize_u32):
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+            ]
         lib.sb_dict_column_decode.restype = ctypes.c_int
         lib.sb_dict_column_decode.argtypes = [
             ctypes.POINTER(ctypes.c_void_p),
@@ -280,6 +289,36 @@ def bp_decode(buf: np.ndarray, pos: int, n_blocks: int):
 
         raise OutOfSpecError("bitpacked page truncated")
     return out, int(end)
+
+
+def factorize(values: np.ndarray, max_uniq: int = 1 << 62):
+    """First-occurrence factorization of a u32/u64 array via one C pass.
+
+    Returns (codes u32, uniq) or None (native unavailable / dtype
+    unsupported / unique count exceeds ``max_uniq``).
+    """
+    lib = _load()
+    if lib is None or values.dtype not in (np.uint64, np.uint32):
+        return None
+    values = np.ascontiguousarray(values)
+    n = len(values)
+    codes = np.empty(n, dtype=np.uint32)
+    uniq = np.empty(min(n, max_uniq) if n else 1, dtype=values.dtype)
+    fn = (
+        lib.sb_factorize_u64
+        if values.dtype == np.uint64
+        else lib.sb_factorize_u32
+    )
+    n_uniq = fn(
+        values.ctypes.data_as(ctypes.c_void_p),
+        n,
+        codes.ctypes.data_as(ctypes.c_void_p),
+        uniq.ctypes.data_as(ctypes.c_void_p),
+        int(min(max_uniq, max(n, 1))),
+    )
+    if n_uniq < 0:
+        return None
+    return codes, uniq[:n_uniq]
 
 
 def dict_column_decode(

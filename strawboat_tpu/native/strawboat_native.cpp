@@ -266,8 +266,34 @@ static void int_stats_impl(const T* vals, const uint8_t* validity, int64_t n,
   int64_t nulls = 0, runs = 0;
   bool sorted = true;
   T last = T(0);
-  std::unordered_map<T, int64_t> distinct;
-  distinct.reserve(1024);
+  // open-addressing distinct counter (std::unordered_map's per-insert
+  // allocation + chaining made this the write path's hottest loop)
+  int64_t cap = 64;
+  while (cap < 2 * n) cap <<= 1;
+  const int64_t hmask = cap - 1;
+  std::vector<T> keys((size_t)cap);
+  std::vector<int64_t> cnts((size_t)cap, 0);
+  int64_t n_distinct = 0;
+  auto bump = [&](T v) {
+    uint64_t h = (uint64_t)v;
+    h = (h ^ (h >> 30)) * 0xBF58476D1CE4E5B9ull;
+    h = (h ^ (h >> 27)) * 0x94D049BB133111EBull;
+    h ^= h >> 31;
+    int64_t i = (int64_t)(h & (uint64_t)hmask);
+    for (;;) {
+      if (cnts[i] == 0) {
+        keys[i] = v;
+        cnts[i] = 1;
+        ++n_distinct;
+        return;
+      }
+      if (keys[i] == v) {
+        ++cnts[i];
+        return;
+      }
+      i = (i + 1) & hmask;
+    }
+  };
   for (int64_t i = 0; i < n; ++i) {
     T v = vals[i];
     bool ok = validity == nullptr || validity[i];
@@ -282,14 +308,14 @@ static void int_stats_impl(const T* vals, const uint8_t* validity, int64_t n,
     }
     if (v < vmin) vmin = v;
     if (v > vmax) vmax = v;
-    ++distinct[v];
+    bump(v);
   }
   T top = T(0);
   int64_t max_count = 0;
-  for (auto& kv : distinct) {
-    if (kv.second > max_count) {
-      max_count = kv.second;
-      top = kv.first;
+  for (int64_t i = 0; i < cap; ++i) {
+    if (cnts[i] > max_count) {
+      max_count = cnts[i];
+      top = keys[i];
     }
   }
   out[0] = (int64_t)vmin;
@@ -297,9 +323,61 @@ static void int_stats_impl(const T* vals, const uint8_t* validity, int64_t n,
   out[2] = nulls;
   out[3] = runs;
   out[4] = sorted ? 1 : 0;
-  out[5] = (int64_t)distinct.size();
+  out[5] = n_distinct;
   out[6] = (int64_t)top;
   out[7] = max_count;
+}
+
+// First-occurrence factorization (DictEncoder interning, integer/dict.rs
+// raw-entry hashmap): codes[i] = index of vals[i] in uniq (first-occurrence
+// order).  Returns the unique count, or -1 when it would exceed max_uniq
+// (caller falls back / rejects Dict).
+template <typename T>
+static int64_t factorize_impl(const T* vals, int64_t n, uint32_t* codes,
+                              T* uniq, int64_t max_uniq) {
+  int64_t cap = 64;
+  while (cap < 2 * n) cap <<= 1;
+  const int64_t hmask = cap - 1;
+  std::vector<T> keys((size_t)cap);
+  std::vector<int32_t> slot_code((size_t)cap, -1);
+  int64_t n_uniq = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    T v = vals[i];
+    uint64_t h = (uint64_t)v;
+    h = (h ^ (h >> 30)) * 0xBF58476D1CE4E5B9ull;
+    h = (h ^ (h >> 27)) * 0x94D049BB133111EBull;
+    h ^= h >> 31;
+    int64_t s = (int64_t)(h & (uint64_t)hmask);
+    for (;;) {
+      if (slot_code[s] < 0) {
+        if (n_uniq >= max_uniq) return -1;
+        keys[s] = v;
+        slot_code[s] = (int32_t)n_uniq;
+        uniq[n_uniq] = v;
+        codes[i] = (uint32_t)n_uniq;
+        ++n_uniq;
+        break;
+      }
+      if (keys[s] == v) {
+        codes[i] = (uint32_t)slot_code[s];
+        break;
+      }
+      s = (s + 1) & hmask;
+    }
+  }
+  return n_uniq;
+}
+
+extern "C" int64_t sb_factorize_u64(const uint64_t* vals, int64_t n,
+                                    uint32_t* codes, uint64_t* uniq,
+                                    int64_t max_uniq) {
+  return factorize_impl<uint64_t>(vals, n, codes, uniq, max_uniq);
+}
+
+extern "C" int64_t sb_factorize_u32(const uint32_t* vals, int64_t n,
+                                    uint32_t* codes, uint32_t* uniq,
+                                    int64_t max_uniq) {
+  return factorize_impl<uint32_t>(vals, n, codes, uniq, max_uniq);
 }
 
 extern "C" int sb_int_stats_i64(const int64_t* vals, const uint8_t* validity,
