@@ -161,6 +161,12 @@ def bench_e2e_scan(tmpdir: str):
         "GB/s",
         w_gbps / wpq_gbps,
         parquet_write_gbps=round(wpq_gbps, 3),
+        note="bulk writes stay host-side by decision: the one-pass C stats/"
+        "factorize (r4) outpace device stats paid through host->HBM "
+        "transfer of the raw column (~0.1 GB/s relay here; even on "
+        "direct-attach, stats read each byte once — the upload costs the "
+        "same pass). write/device.py remains the encoder for data already "
+        "ON device (post-shuffle re-encode).",
     )
 
     def scan_once():
@@ -440,13 +446,16 @@ def bench_resident_scan(tmpdir: str):
     wt3p.block_until_ready()
 
     def step_natural(w, seed):
-        out = bitunpack_pallas_tiled_seeded(w, seed, b).reshape(-1)[
-            :n
-        ].astype(jnp.int32)
-        return jnp.sum(
-            jnp.where((out >= 1000) & (out < 30000), out, 0),
-            dtype=jnp.int64,
+        out = bitunpack_pallas_tiled_seeded(w, seed, b).reshape(-1).astype(
+            jnp.int32
         )
+        # slot s IS natural row s under the pre-permuted layout; the row-id
+        # iota is exactly what a natural-order consumer sees per element
+        # (an explicit [:n] slice measures the same stream but forces an
+        # XLA materialization of the flat copy)
+        rows = jnp.arange(out.shape[0], dtype=jnp.int32)
+        m = (rows < n) & (out >= 1000) & (out < 30000)
+        return jnp.sum(jnp.where(m, out, 0), dtype=jnp.int64)
 
     # order-invariant consumption: filter+aggregate straight over the tiled
     # kernel output (padding slots included in the stream, masked by value
