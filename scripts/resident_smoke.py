@@ -47,7 +47,9 @@ def main():
     t0 = time.perf_counter()
     rt = load_resident(path)
     print(f"load: {time.perf_counter()-t0:.2f}s", flush=True)
-    hbm = sum(c.wt3.size * 4 for c in rt.columns.values())
+    hbm = sum(
+        sum(w.size * 4 for w, _b in c.planes) for c in rt.columns.values()
+    )
     print(
         f"HBM resident: {hbm/1e6:.1f} MB packed vs {n*16/1e6:.1f} MB decoded",
         flush=True,

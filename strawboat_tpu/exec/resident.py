@@ -346,6 +346,23 @@ class ResidentTable:
                 )
                 if arr.type != c.arrow_type:
                     arr = arr.cast(c.arrow_type)
+            elif c.arrow_type is not None and pa.types.is_decimal(c.arrow_type):
+                # vals are UNSCALED ints — rebuild the 16-byte limb matrix
+                # (an int64→decimal cast would re-scale the value)
+                v = np.asarray(vals, dtype=np.int64)
+                limbs = np.empty((len(v), 2), dtype="<i8")
+                limbs[:, 0] = v
+                limbs[:, 1] = v >> 63
+                null_bm = None
+                if mask is not None:
+                    null_bm = pa.py_buffer(
+                        np.packbits(~mask, bitorder="little").tobytes()
+                    )
+                arr = pa.Array.from_buffers(
+                    c.arrow_type,
+                    len(v),
+                    [null_bm, pa.py_buffer(limbs.tobytes())],
+                )
             else:
                 arr = pa.array(vals, mask=mask)
                 if c.arrow_type is not None and arr.type != c.arrow_type:
@@ -812,6 +829,25 @@ def _encode_resident_column(
             arr_f.to_numpy(zero_copy_only=False).astype(np.int64)
         )
         col = _encode_int(field.name, vals, tile, t, rows)
+    elif pa.types.is_decimal(t) and t.bit_width == 128 and t.precision <= 18:
+        # unscaled int64 domain — the same device representation the scan
+        # layer uses (predicates on decimals compare unscaled ints)
+        limbs = np.frombuffer(
+            arr.buffers()[1], dtype="<i8",
+            count=2 * (len(arr) + arr.offset),
+        ).reshape(-1, 2)[arr.offset : arr.offset + len(arr)]
+        lo, hi = limbs[:, 0].copy(), limbs[:, 1]
+        if validity is not None:
+            lo[~validity] = 0
+            ok = (hi == (lo >> 63)) | ~validity
+        else:
+            ok = hi == (lo >> 63)
+        if not bool(np.all(ok)):
+            raise OutOfSpecError(
+                f"decimal column {field.name!r}: unscaled value exceeds "
+                f"int64 despite precision {t.precision}"
+            )
+        col = _encode_int(field.name, np.ascontiguousarray(lo), tile, t, rows)
     else:
         raise NotYetImplementedError(
             f"resident load of column {field.name!r} type {t}"
@@ -822,25 +858,36 @@ def _encode_resident_column(
 
 
 def load_resident(
-    path: str,
+    path,
     columns: Optional[Sequence[str]] = None,
     tile: Optional[int] = None,
 ) -> ResidentTable:
-    """Load a file's columns as a compressed-in-HBM resident table.
+    """Load a file's (or multi-file dataset's) columns as a
+    compressed-in-HBM resident table.
 
-    Decodes through the complete host read path (every page codec the
-    format produces — the chooser's full matrix, tail pages, mixed
-    dict/plain columns) and re-encodes into packed planes; HBM cost is
-    bits/32 of the decoded size per column plus KB-scale dictionaries.
-    Unsupported TYPES (nested, decimal, float16) raise — resident loading
-    is an opt-in fast representation, never silently wrong.
+    ``path``: one file path, a glob pattern, or an explicit list of parts
+    (parts concatenate host-side before plane encoding — the resident
+    analogue of ``scan_dataset``).  Decodes through the complete host read
+    path (every page codec the format produces — the chooser's full
+    matrix, tail pages, mixed dict/plain columns) and re-encodes into
+    packed planes; HBM cost is bits/32 of the decoded size per column plus
+    KB-scale dictionaries.  Unsupported TYPES (nested, wide decimal,
+    float16) raise — resident loading is an opt-in fast representation,
+    never silently wrong.
     """
     from ..api import read_table
 
     from ..kernels.bitunpack_pallas import TILE3D
 
     tile = tile or TILE3D
-    table = read_table(path, columns=list(columns) if columns else None)
+    want = list(columns) if columns else None
+    if isinstance(path, str) and not any(ch in path for ch in "*?["):
+        table = read_table(path, columns=want)
+    else:
+        from .dataset import resolve_paths
+
+        parts = [read_table(p, columns=want) for p in resolve_paths(path)]
+        table = pa.concat_tables(parts).combine_chunks()
     out: Dict[str, ResidentColumn] = {}
     n_rows = None
     slots = None

@@ -445,3 +445,51 @@ def test_resident_decode_natural_matches(tmp_path, interp_pallas):
     rt = load_resident(p, tile=512)
     nat = np.asarray(rt.decode_natural("ep"))
     assert nat.tolist() == cols["ep"].tolist()
+
+
+def test_resident_decimal128(tmp_path, interp_pallas):
+    """decimal128 (precision <= 18) loads as unscaled-int64 planes and
+    round-trips exactly; predicates compare unscaled ints (the scan-layer
+    convention)."""
+    import decimal
+
+    from strawboat_tpu.exec.resident import load_resident
+
+    vals = [decimal.Decimal(f"{x}.{x % 100:02d}") for x in range(300)]
+    t = pa.table(
+        {"d": pa.array(vals, pa.decimal128(12, 2))},
+        schema=pa.schema([pa.field("d", pa.decimal128(12, 2), nullable=False)]),
+    )
+    rt = _roundtrip(tmp_path, t, "dec.str")
+    # unscaled sum: value x.y has unscaled 100x + y
+    unscaled = np.array([int(v.scaleb(2)) for v in vals], dtype=np.int64)
+    got = int(rt.filter_sum({"d": (int(unscaled[100]), None)}, value="d"))
+    assert got == int(unscaled[unscaled >= unscaled[100]].sum())
+
+
+def test_resident_multifile_dataset(tmp_path, interp_pallas):
+    from strawboat_tpu.exec.dataset import write_dataset
+    from strawboat_tpu.exec.resident import load_resident
+
+    rng = np.random.default_rng(6)
+    n = 1500
+    v = rng.integers(0, 500, n)
+    g = rng.integers(0, 4, n)
+    t = pa.table(
+        {"v": pa.array(v), "g": pa.array(g)},
+        schema=pa.schema(
+            [
+                pa.field("v", pa.int64(), nullable=False),
+                pa.field("g", pa.int64(), nullable=False),
+            ]
+        ),
+    )
+    d = tmp_path / "ds"
+    write_dataset(str(d), t, rows_per_file=400)
+    rt = load_resident(str(d / "part-*.str"), tile=512)
+    assert rt.num_rows == n
+    (sums,), cnt = rt.group_sum("g", ["v"], num_groups=4)
+    for k in range(4):
+        sel = g == k
+        assert int(np.asarray(sums)[k]) == int(v[sel].sum())
+        assert int(np.asarray(cnt)[k]) == int(sel.sum())
