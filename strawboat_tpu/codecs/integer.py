@@ -50,6 +50,12 @@ def bitpack_encode(values: np.ndarray) -> bytes:
 
 def _encode_blocks(payload_blocks: np.ndarray, width_blocks: np.ndarray) -> bytes:
     """Grouped-by-width vectorized block encoder ([u8 nb][packed] per block)."""
+    from .. import native
+
+    if payload_blocks.shape[0] >= 8 and native.available():
+        res = native.bp_encode(payload_blocks, width_blocks)
+        if res is not None:
+            return res
     from ..util.bits import pack_blocks
 
     n_blocks = payload_blocks.shape[0]

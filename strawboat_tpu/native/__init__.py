@@ -118,6 +118,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.c_void_p,
         ]
+        lib.sb_bp_encode.restype = ctypes.c_int64
+        lib.sb_bp_encode.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         for fn in (lib.sb_factorize_u64, lib.sb_factorize_u32):
             fn.restype = ctypes.c_int64
             fn.argtypes = [
@@ -289,6 +296,26 @@ def bp_decode(buf: np.ndarray, pos: int, n_blocks: int):
 
         raise OutOfSpecError("bitpacked page truncated")
     return out, int(end)
+
+
+def bp_encode(
+    payload_blocks: np.ndarray, width_blocks: np.ndarray
+) -> "Optional[bytes]":
+    """Encode (n, 128) u32 blocks as [u8 nb][packed]* in one C pass."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sb_bp_encode"):
+        return None
+    n_blocks = payload_blocks.shape[0]
+    payload_blocks = np.ascontiguousarray(payload_blocks, dtype=np.uint32)
+    width_blocks = np.ascontiguousarray(width_blocks, dtype=np.uint32)
+    out = np.empty(n_blocks * (1 + 32 * 16), dtype=np.uint8)
+    written = lib.sb_bp_encode(
+        payload_blocks.ctypes.data_as(ctypes.c_void_p),
+        n_blocks,
+        width_blocks.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out[:written].tobytes()
 
 
 def factorize(values: np.ndarray, max_uniq: int = 1 << 62):

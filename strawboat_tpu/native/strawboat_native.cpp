@@ -328,6 +328,39 @@ static void int_stats_impl(const T* vals, const uint8_t* validity, int64_t n,
   out[7] = max_count;
 }
 
+// Encode 128-value blocks as [u8 num_bits][BitPacker4x packed] in one pass
+// (reference integer/bp.rs:36-86 layout: 4 interleaved 32-value lanes,
+// LSB-first).  Width per block comes from OR-reducing width_vals (equals
+// vals for plain pages; differs for delta pages where the width domain is
+// the deltas).  Returns bytes written.
+extern "C" int64_t sb_bp_encode(const uint32_t* vals, int64_t n_blocks,
+                                const uint32_t* width_vals, uint8_t* out) {
+  int64_t p = 0;
+  for (int64_t blk = 0; blk < n_blocks; ++blk) {
+    const uint32_t* v = vals + blk * 128;
+    const uint32_t* wv = width_vals + blk * 128;
+    uint32_t acc = 0;
+    for (int i = 0; i < 128; ++i) acc |= wv[i];
+    uint32_t nb = acc ? 32 - __builtin_clz(acc) : 0;
+    out[p++] = (uint8_t)nb;
+    if (!nb) continue;
+    uint32_t words[32 * 4];
+    std::memset(words, 0, sizeof(uint32_t) * nb * 4);
+    for (uint32_t t = 0; t < 32; ++t) {
+      const uint32_t s = t * nb;
+      const uint32_t w0 = s >> 5, sh = s & 31;
+      for (uint32_t l = 0; l < 4; ++l) {
+        uint32_t x = v[t * 4 + l];
+        words[w0 * 4 + l] |= x << sh;
+        if (sh + nb > 32) words[(w0 + 1) * 4 + l] |= x >> (32 - sh);
+      }
+    }
+    std::memcpy(out + p, words, (size_t)nb * 16);
+    p += (int64_t)nb * 16;
+  }
+  return p;
+}
+
 // First-occurrence factorization (DictEncoder interning, integer/dict.rs
 // raw-entry hashmap): codes[i] = index of vals[i] in uniq (first-occurrence
 // order).  Returns the unique count, or -1 when it would exceed max_uniq
