@@ -258,13 +258,13 @@ def bench_tpch(tmpdir: str):
         (scan_q6(preds) for _ in range(3)), key=lambda x: x[0]
     )
     assert rev_pruned == q6_numpy_reference(table), "pruned Q6 wrong!"
-    pq_q6_once()  # warm OS cache
-    t_pq, rev_pq = min((pq_q6_once() for _ in range(3)), key=lambda x: x[0])
-    assert rev_pq == rev_pruned, "parquet+numpy pipeline disagrees!"
 
     # apples-to-apples host pipeline on OUR file: read_table + numpy Q6 —
     # same host-only shape as the parquet baseline (no relay tunnel in the
-    # loop); the device-scan variant below additionally pays host→HBM
+    # loop); the device-scan variant below additionally pays host→HBM.
+    # This box's CPU throughput swings ~3x between measurement windows
+    # (shared VM) — the two pipelines INTERLEAVE so each rep pair sees the
+    # same noise, and both take min-of-reps.
     from strawboat_tpu.api import read_table
 
     def host_q6_once():
@@ -273,8 +273,16 @@ def bench_tpch(tmpdir: str):
         rev = q6_numpy_reference(t)
         return time.perf_counter() - t0, rev
 
+    pq_q6_once()  # warm OS cache
     host_q6_once()
-    t_host_q6, rev_host = min((host_q6_once() for _ in range(3)), key=lambda x: x[0])
+    t_pq, t_host_q6 = float("inf"), float("inf")
+    rev_pq = rev_host = None
+    for _ in range(5):
+        dt_p, rev_pq = pq_q6_once()
+        dt_h, rev_host = host_q6_once()
+        t_pq = min(t_pq, dt_p)
+        t_host_q6 = min(t_host_q6, dt_h)
+    assert rev_pq == rev_pruned, "parquet+numpy pipeline disagrees!"
     assert rev_host == rev_pruned, "host pipeline disagrees!"
     emit(
         "tpch_sf1_host_scan_rows_per_s",
