@@ -12,7 +12,7 @@ from .dataset import (  # noqa: F401
     iter_dataset_chunks,
     scan_dataset,
 )
-from .resident import ResidentTable, load_resident  # noqa: F401
+from .resident import ResidentTable, load_resident, make_resident  # noqa: F401
 from .query import Query  # noqa: F401
 from .expr import col, lit  # noqa: F401
 from .aggregate import hash_aggregate, dense_group_sum  # noqa: F401

@@ -857,6 +857,34 @@ def _encode_resident_column(
     return col
 
 
+def make_resident(table, tile: Optional[int] = None) -> ResidentTable:
+    """Build a resident table directly from a ``pa.Table`` or DeviceTable
+    (e.g. a scan/shuffle/join result) — the serving handoff without a file
+    roundtrip.  DeviceTables materialize through ``to_arrow`` (exact, incl.
+    ``host_exact`` f64 bytes) before plane encoding."""
+    from ..kernels.bitunpack_pallas import TILE3D
+
+    tile = tile or TILE3D
+    if not isinstance(table, pa.Table):
+        table = table.to_arrow()
+    table = table.combine_chunks()
+    out: Dict[str, ResidentColumn] = {}
+    n_rows = None
+    slots = None
+    for field in table.schema:
+        col = _encode_resident_column(field, table.column(field.name), tile)
+        if n_rows is None:
+            n_rows, slots = col.length, col.tiled_slots
+        elif col.length != n_rows or col.tiled_slots != slots:
+            raise OutOfSpecError(
+                f"resident columns disagree on row grid: {field.name!r}"
+            )
+        out[field.name] = col
+    if not out:
+        raise OutOfSpecError("no loadable columns")
+    return ResidentTable(out, n_rows, tile)
+
+
 def load_resident(
     path,
     columns: Optional[Sequence[str]] = None,
@@ -887,21 +915,7 @@ def load_resident(
         from .dataset import resolve_paths
 
         parts = [read_table(p, columns=want) for p in resolve_paths(path)]
-        table = pa.concat_tables(parts).combine_chunks()
-    out: Dict[str, ResidentColumn] = {}
-    n_rows = None
-    slots = None
-    for field in table.schema:
-        if columns is not None and field.name not in columns:
-            continue
-        col = _encode_resident_column(field, table.column(field.name), tile)
-        if n_rows is None:
-            n_rows, slots = col.length, col.tiled_slots
-        elif col.length != n_rows or col.tiled_slots != slots:
-            raise OutOfSpecError(
-                f"resident columns disagree on row grid: {field.name!r}"
-            )
-        out[field.name] = col
-    if not out:
-        raise OutOfSpecError("no loadable columns")
-    return ResidentTable(out, n_rows, tile)
+        table = pa.concat_tables(parts)
+    if want is not None:
+        table = table.select([n for n in want if n in table.schema.names])
+    return make_resident(table, tile=tile)

@@ -493,3 +493,18 @@ def test_resident_multifile_dataset(tmp_path, interp_pallas):
         sel = g == k
         assert int(np.asarray(sums)[k]) == int(v[sel].sum())
         assert int(np.asarray(cnt)[k]) == int(sel.sum())
+
+
+def test_make_resident_from_device_table(tmp_path, interp_pallas):
+    """scan → (query stack) → make_resident: the serving handoff without a
+    file roundtrip."""
+    from strawboat_tpu.exec import scan_file
+    from strawboat_tpu.exec.resident import make_resident
+
+    p, cols = _write(tmp_path, seed=9)
+    dt = scan_file(p)
+    rt = make_resident(dt, tile=512)
+    assert rt.num_rows == 2048
+    got = int(rt.filter_sum({"sd": (500, 1500)}, value="ep"))
+    sel = (cols["sd"] >= 500) & (cols["sd"] < 1500)
+    assert got == int(cols["ep"][sel].astype(np.int64).sum())
