@@ -101,6 +101,10 @@ def grouped_aggregate(
     outs = []
     for fn_name, vi in agg_specs:
         v = value_cols[vi][order]
+        if fn_name == "sum" and jnp.issubdtype(v.dtype, jnp.integer) and v.dtype.itemsize < 8:
+            # SQL SUM is wide: int32 inputs (e.g. decoded resident columns)
+            # must not accumulate in int32
+            v = v.astype(jnp.int64)
         if fn_name == "count":
             ones = jnp.ones_like(v, dtype=jnp.int64)
             if mask is not None:
@@ -319,6 +323,8 @@ def scalar_aggregate(values: jax.Array, mask: Optional[jax.Array], fn: str):
         if mask is None:
             return jnp.asarray(values.shape[0], jnp.int64)
         return jnp.sum(mask.astype(jnp.int64))
+    if fn == "sum" and jnp.issubdtype(values.dtype, jnp.integer) and values.dtype.itemsize < 8:
+        values = values.astype(jnp.int64)  # SQL SUM is wide
     if mask is not None:
         if fn == "sum":
             values = jnp.where(mask, values, 0)

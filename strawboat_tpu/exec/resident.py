@@ -82,6 +82,11 @@ class ResidentColumn:
     # then bitcast per kind).  offset is stored as the two's-complement u64.
     offset: int = 0
     bit_shift: int = 0
+    # int kind: decode to int64 when the ARROW storage is 64-bit (int64 /
+    # timestamp / decimal) even if the packed values are narrow — consumers
+    # (expressions, products) must see scan-path dtypes, or a per-row
+    # int32 product silently wraps (found by resident Q1 on chip)
+    wide: bool = False
     # dict columns only: GLOBAL SORTED dictionary.  Sortedness is the point:
     # a value-range predicate becomes a CODE-range predicate (host
     # searchsorted) — filters never gather; only value decodes pay one
@@ -127,6 +132,7 @@ class ResidentColumn:
             and self.offset == 0
             and self.bit_shift == 0
             and self.planes[0][1] <= 31
+            and not self.wide
         ):
             return jnp.int32
         return jnp.int64
@@ -249,7 +255,8 @@ class ResidentTable:
             and c.planes[0][1] <= 31
             and c.kind == "int"
         ):
-            return vals[0].astype(jnp.int32)  # fast path: values < 2^31
+            v = vals[0].astype(jnp.int32)  # values < 2^31
+            return v.astype(jnp.int64) if c.wide else v
         u = jnp.zeros_like(vals[0], dtype=jnp.uint64)
         for v, sh in zip(vals, c.shifts):
             u = u | (v.astype(jnp.uint64) << jnp.uint64(sh))
@@ -694,21 +701,28 @@ def _encode_int(name, vals: np.ndarray, tile: int, arrow_type, rows):
     span_bits = _bits_of(vmax - vmin)  # python ints: no wrap
     offset = 0 if vmin >= 0 and vmax < (1 << 31) else vmin
     plain_bits = span_bits if offset else _bits_of(vmax)
+    wide = arrow_type is not None and (
+        (pa.types.is_integer(arrow_type) and arrow_type.bit_width == 64)
+        or pa.types.is_timestamp(arrow_type)
+        or pa.types.is_date64(arrow_type)
+        or pa.types.is_time64(arrow_type)
+        or pa.types.is_decimal(arrow_type)
+    )
     d = _try_dict_int(vals, vmin, vmax)
     if d is not None:
         uniq, codes = d
         code_bits = _bits_of(max(len(uniq) - 1, 1))
         if code_bits < plain_bits:
+            fits32 = vmin >= -(1 << 31) and vmax < (1 << 31)
             dev = jnp.asarray(
-                uniq.astype(np.int32)
-                if vmin >= -(1 << 31) and vmax < (1 << 31)
-                else uniq
+                uniq.astype(np.int32) if fits32 and not wide else uniq
             )
             planes, shifts = _split_planes(
                 codes.astype(np.uint64), code_bits, tile
             )
             return ResidentColumn(
                 name, planes, shifts, rows, "int",
+                wide=wide,
                 dictionary=dev,
                 dictionary_host=uniq.astype(np.int64),
                 arrow_type=arrow_type,
@@ -717,6 +731,7 @@ def _encode_int(name, vals: np.ndarray, tile: int, arrow_type, rows):
     planes, shifts = _split_planes(u, plain_bits, tile)
     return ResidentColumn(
         name, planes, shifts, rows, "int",
+        wide=wide,
         offset=int(np.int64(offset).astype(np.uint64)),
         arrow_type=arrow_type,
     )

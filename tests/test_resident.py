@@ -508,3 +508,36 @@ def test_make_resident_from_device_table(tmp_path, interp_pallas):
     got = int(rt.filter_sum({"sd": (500, 1500)}, value="ep"))
     sel = (cols["sd"] >= 500) & (cols["sd"] < 1500)
     assert got == int(cols["ep"][sel].astype(np.int64).sum())
+
+
+def test_resident_int64_semantics_no_int32_wrap(tmp_path, interp_pallas):
+    """An int64 column with narrow values must DECODE as int64 (scan-path
+    dtype), so per-row expression products and sums never wrap in int32 —
+    the resident-Q1-on-chip bug."""
+    from strawboat_tpu.exec.query import Query
+    from strawboat_tpu.exec.expr import col
+
+    n = 600
+    rng = np.random.default_rng(13)
+    price = rng.integers(10_000_000, 99_000_000, n)  # fits int32 barely
+    mult = rng.integers(90, 111, n)
+    t = pa.table(
+        {"price": pa.array(price), "mult": pa.array(mult)},
+        schema=pa.schema(
+            [
+                pa.field("price", pa.int64(), nullable=False),
+                pa.field("mult", pa.int64(), nullable=False),
+            ]
+        ),
+    )
+    rt = _roundtrip(tmp_path, t, "wrap.str")
+    assert str(rt["price"].decoded_dtype()) == "int64"
+    res = (
+        Query(rt)
+        .agg(s=("sum", col("price") * col("mult")))  # per-row > 2^31
+        .run()
+    )
+    assert int(res["s"]) == int((price * mult).sum())
+    # plain sum of the column itself also exceeds int32
+    res2 = Query(rt).agg(s=("sum", "price")).run()
+    assert int(res2["s"]) == int(price.sum())
