@@ -113,12 +113,14 @@ def read_binary_column_fast(
     meta: ColumnMeta,
     field: pa.Field,
 ) -> Optional[pa.Array]:
-    """All-DICT utf8/binary column → pa.Array via one arrow take.
+    """utf8/binary column fast path: all-DICT or all-raw page layouts.
 
-    Index subpages decode in one native walk per page; per-page
+    DICT: index subpages decode in one native walk per page; per-page
     dictionaries concatenate with base offsets; ONE ``pc.take`` (null
-    indices → null rows) materializes the strings in C++.  Returns None
-    for any other layout (general reader handles it).
+    indices → null rows) materializes the strings in C++.  Raw two-block
+    pages: every offsets/values block decompresses in one threaded native
+    batch straight into the final buffers.  Returns None for any other
+    layout (general reader handles it).
     """
     import pyarrow.compute as pc
 
@@ -134,7 +136,12 @@ def read_binary_column_fast(
         return None
     nullable = bool(field.nullable)
     jobs = []  # (num_values, buf, index_body, pa dict array)
+    raw_jobs = []  # (num_values, codec, offs_slice, offs_usize, vals_slice, vals_usize)
     validities = []
+    odtype = np.dtype(
+        np.int64 if pa.types.is_large_string(t) or pa.types.is_large_binary(t)
+        else np.int32
+    )
     pos = meta.offset
     for page in meta.pages:
         page_end = pos + page.length
@@ -143,7 +150,25 @@ def read_binary_column_fast(
         if nullable:
             v, p = read_validity(buf, 0, page.num_values)
             validities.append(v)
-        codec, _csize, _us, body = read_header(buf, p)
+        codec, csize, _us, body = read_header(buf, p)
+        if codec.raw_mode:
+            # two-block raw framing: zero-based offsets, then sliced values
+            # (reference binary/mod.rs:44-80)
+            c2, csize2, usize2, body2 = read_header(buf, body + csize)
+            if c2 != codec:
+                return None
+            raw_jobs.append(
+                (
+                    page.num_values,
+                    int(codec),
+                    buf[body : body + csize],
+                    (page.num_values + 1) * odtype.itemsize,
+                    buf[body2 : body2 + csize2],
+                    usize2,
+                )
+            )
+            pos = page_end
+            continue
         if codec != Compression.DICT:
             return None
         icodec, icsize, _ius, ibody = read_header(buf, body)
@@ -174,6 +199,12 @@ def read_binary_column_fast(
             )
         )
         pos = page_end
+    if raw_jobs and jobs:
+        return None  # mixed dict/raw string column: general reader
+    if raw_jobs:
+        return _read_raw_binary_column(
+            raw_jobs, meta, field, odtype, validities, nullable
+        )
     if not jobs:
         return None  # zero-page column: general reader emits the empty array
     n_rows = int(sum(j[0] for j in jobs))
@@ -212,6 +243,75 @@ def read_binary_column_fast(
     if arr.type != t:
         arr = arr.cast(t)
     return arr
+
+
+def _read_raw_binary_column(raw_jobs, meta, field, odtype, validities, nullable):
+    """All-raw two-block string/binary column: ONE threaded native batch
+    decompress for every offsets and values block straight into the final
+    buffers; per-page offset rebase is a vectorized add."""
+    n_rows = int(sum(j[0] for j in raw_jobs))
+    n_pages = len(raw_jobs)
+    counts = np.asarray([j[0] for j in raw_jobs], dtype=np.int64)
+    val_lens = np.asarray([j[5] for j in raw_jobs], dtype=np.int64)
+    val_offs = np.zeros(n_pages + 1, dtype=np.int64)
+    np.cumsum(val_lens, out=val_offs[1:])
+    values = np.empty(int(val_offs[-1]), dtype=np.uint8)
+    # page-offset arrays land back-to-back; page i's (n_i + 1) entries start
+    # at sum(n_j + 1, j < i)
+    ocount = counts + 1
+    obytes = ocount * odtype.itemsize
+    ooffs = np.zeros(n_pages + 1, dtype=np.int64)
+    np.cumsum(obytes, out=ooffs[1:])
+    offs_all = np.empty(int(ooffs[-1]), dtype=np.uint8)
+    i = 0
+    while i < n_pages:
+        j = i + 1
+        while j < n_pages and raw_jobs[j][1] == raw_jobs[i][1]:
+            j += 1
+        codec = raw_jobs[i][1]
+        native.decompress_batch_into(
+            codec,
+            [r[2] for r in raw_jobs[i:j]],
+            offs_all,
+            ooffs[i:j],
+            obytes[i:j],
+        )
+        native.decompress_batch_into(
+            codec,
+            [r[4] for r in raw_jobs[i:j]],
+            values,
+            val_offs[i:j],
+            val_lens[i:j],
+        )
+        i = j
+    offs_typed = offs_all.view(odtype)
+    # final row offsets: page-local zero-based offsets + that page's value base
+    out_offs = np.empty(n_rows + 1, dtype=odtype)
+    out_offs[0] = 0
+    row = 0
+    opos = 0
+    for k in range(n_pages):
+        nv = int(counts[k])
+        page_offs = offs_typed[opos + 1 : opos + nv + 1]
+        np.add(page_offs, odtype.type(val_offs[k]), out=out_offs[row + 1 : row + nv + 1])
+        row += nv
+        opos += nv + 1
+    null_bitmap = None
+    if nullable and any(v is not None for v in validities):
+        vbits = np.concatenate(
+            [
+                np.ones(p.num_values, dtype=bool) if v is None else v
+                for v, p in zip(validities, meta.pages)
+            ]
+        )
+        null_bitmap = pa.py_buffer(
+            np.packbits(vbits, bitorder="little").tobytes()
+        )
+    return pa.Array.from_buffers(
+        field.type,
+        n_rows,
+        [null_bitmap, pa.py_buffer(out_offs), pa.py_buffer(values)],
+    )
 
 
 def read_column_fast(

@@ -167,3 +167,66 @@ def test_bp_int32_column_fast_path(tmp_path):
     )
     back = read_table(p)
     assert back.column("b").to_pylist() == v.tolist()
+
+
+def test_raw_string_column_fast_path(tmp_path):
+    """High-entropy strings (raw two-block pages) decode on the binary fast
+    path and match exactly; nullable variant included."""
+    import pyarrow as pa
+
+    from strawboat_tpu import native
+    from strawboat_tpu.api import read_table, write_file
+    from strawboat_tpu.codecs import WriteOptions
+    from strawboat_tpu.constants import Compression
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(5)
+    n = 3000
+    # unique-ish strings of varying length -> dict never wins -> raw pages
+    vals = [f"{rng.integers(0, 1 << 60):x}-{'x' * int(rng.integers(0, 20))}" for _ in range(n)]
+    nulls = rng.random(n) < 0.15
+    t = pa.table(
+        {
+            "s": pa.array(vals, pa.string()),
+            "sn": pa.array(
+                [None if nu else v for v, nu in zip(vals, nulls)], pa.string()
+            ),
+        },
+        schema=pa.schema(
+            [
+                pa.field("s", pa.string(), nullable=False),
+                pa.field("sn", pa.string(), nullable=True),
+            ]
+        ),
+    )
+    p = str(tmp_path / "rawstr.str")
+    write_file(
+        p,
+        t,
+        options=WriteOptions(
+            default_compression=Compression.LZ4,
+            default_compress_ratio=1.0,
+            max_page_size=512,
+        ),
+    )
+    # prove the fast path handles it directly
+    from strawboat_tpu.api import split_metas_by_field
+    from strawboat_tpu.read.fast import read_binary_column_fast
+    from strawboat_tpu.read.reader import infer_schema, read_meta
+
+    with open(p, "rb") as f:
+        schema = infer_schema(f)
+        metas = read_meta(f)
+    fb = np.memmap(p, dtype=np.uint8, mode="r")
+    per_field = split_metas_by_field(schema, metas)
+    arr = read_binary_column_fast(fb, per_field[0][0], schema.field("s"))
+    assert arr is not None, "raw string column fell off the fast path"
+    assert arr.to_pylist() == vals
+    back = read_table(p)
+    assert back.column("s").to_pylist() == vals
+    assert back.column("sn").to_pylist() == [
+        None if nu else v for v, nu in zip(vals, nulls)
+    ]
