@@ -36,6 +36,9 @@ class Query:
     _limit: Optional[int] = None
     _distinct: bool = False
     _join: Optional[Tuple] = None  # (build Query, (probe_col, build_col), max_fanout)
+    # resident fused grouped path: memoized jitted impl (reuse the Query
+    # object across calls to keep the compilation)
+    _fused: Optional[object] = None
 
     def select(self, *columns: str) -> "Query":
         self._columns = list(columns)
@@ -109,6 +112,18 @@ class Query:
         return scan_file(self.path, columns=cols, predicates=predicates)
 
     def run(self):
+        from .resident import ResidentTable
+
+        if (
+            isinstance(self.path, ResidentTable)
+            and self._join is None
+            and not self._distinct
+            and self._keys
+            and self._aggs
+        ):
+            fused = self._try_run_resident_fused()
+            if fused is not None:
+                return fused
         table = self.scan()
         base_mask = self._base_mask
         row_order_sensitive = (
@@ -187,6 +202,180 @@ class Query:
             return take_table(out_t, jnp.arange(n)), None
         # projection query: return the table + selection mask
         return self._projected(table), mask
+
+    def _try_run_resident_fused(self):
+        """Grouped aggregate over a resident source as ONE jitted call.
+
+        Applicable when every group key is a dict column (dense sorted
+        codes): the composite key is ``Σ code_i · stride_i`` — a direct
+        segment id, no sort pass — and decode + filter + every aggregate
+        fuse behind one jit with ONE packed fetch (each synchronous fetch
+        costs a relay round trip on this box).  Returns None when the query
+        shape doesn't fit (general path runs instead).  Results are
+        host-side numpy, same keys/labels as the general grouped result.
+        Reuse the Query object across calls: the jitted impl is memoized on
+        it (literals are baked into the trace).
+        """
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        rt = self.path
+        keys = self._keys
+        for k in keys:
+            c = rt.columns.get(k)
+            if c is None or not c.is_dict:
+                return None
+        sizes = [len(rt.columns[k].dictionary_host) for k in keys]
+        cap = 1
+        for s in sizes:
+            cap *= s
+        if cap == 0 or cap > (1 << 20):
+            return None
+        for fn, _c in self._aggs.values():
+            if fn not in ("sum", "count", "min", "max", "avg", "mean"):
+                return None
+        if self._fused is None:
+            agg_items = list(self._aggs.items())
+            filt = self._filter
+            strides = np.ones(len(keys), dtype=np.int64)
+            for i in range(len(keys) - 2, -1, -1):
+                strides[i] = strides[i + 1] * sizes[i + 1]
+            names = sorted(
+                set(keys)
+                | set(filt.refs if filt is not None else ())
+                | {
+                    r
+                    for _n, (_f, c) in agg_items
+                    for r in (c.refs if isinstance(c, Expr) else (c,))
+                }
+            )
+
+            def impl(colargs):
+                from .scan import DeviceColumn, DeviceTable as _DT
+
+                cols = {}
+                for n in names:
+                    planes, dictionary = colargs[n]
+                    c = rt.columns[n]
+                    cols[n] = DeviceColumn(
+                        n,
+                        c.arrow_type,
+                        rt._decode_in_trace(n, planes, dictionary),
+                        rt.validity_tiled(n),
+                        dictionary=c.dictionary_pa,
+                    )
+                table = _DT(cols, rt.tiled_slots)
+                m = rt.mask_tiled()
+                if filt is not None:
+                    m = m & filt.mask(table)
+                code = jnp.zeros(rt.tiled_slots, dtype=jnp.int64)
+                for k, st in zip(keys, strides):
+                    planes, _d = colargs[k]
+                    kc = rt._decode_in_trace(k, planes, None, with_dict=False)
+                    code = code + kc.astype(jnp.int64) * jnp.int64(int(st))
+                seg = jnp.where(m, code, cap)
+                cnt = jax.ops.segment_sum(
+                    m.astype(jnp.int64), seg, num_segments=cap + 1
+                )[:cap]
+                outs = []
+                for _name, (fn, c) in agg_items:
+                    if fn == "count":
+                        outs.append(cnt)
+                        continue
+                    if isinstance(c, Expr):
+                        v, vm = c.fn(table)
+                        mm = m if vm is None else (m & vm)
+                    else:
+                        v = cols[c].values
+                        vv = cols[c].validity
+                        mm = m if vv is None else (m & vv)
+                    if fn in ("sum", "avg", "mean"):
+                        if (
+                            jnp.issubdtype(v.dtype, jnp.integer)
+                            and v.dtype.itemsize < 8
+                        ):
+                            v = v.astype(jnp.int64)
+                        s = jax.ops.segment_sum(
+                            jnp.where(mm, v, 0), seg, num_segments=cap + 1
+                        )[:cap]
+                        if fn == "sum":
+                            outs.append(s)
+                        else:
+                            c2 = jax.ops.segment_sum(
+                                mm.astype(jnp.int64), seg, num_segments=cap + 1
+                            )[:cap]
+                            ft = (
+                                v.dtype
+                                if jnp.issubdtype(v.dtype, jnp.floating)
+                                else jnp.float64
+                            )
+                            outs.append(
+                                s.astype(ft) / jnp.maximum(c2, 1).astype(ft)
+                            )
+                    else:  # min / max
+                        op = (
+                            jax.ops.segment_min
+                            if fn == "min"
+                            else jax.ops.segment_max
+                        )
+                        if jnp.issubdtype(v.dtype, jnp.floating):
+                            neutral = jnp.asarray(
+                                jnp.inf if fn == "min" else -jnp.inf, v.dtype
+                            )
+                        else:
+                            info = jnp.iinfo(v.dtype)
+                            neutral = info.max if fn == "min" else info.min
+                        outs.append(
+                            op(
+                                jnp.where(mm, v, neutral),
+                                seg,
+                                num_segments=cap + 1,
+                            )[:cap]
+                        )
+                # ONE fetch: everything bitcast through uint64 planes
+                # (each synchronous fetch is a relay round trip); per-row
+                # float/int-ness is recorded at trace time for the unpack
+                out_is_float.clear()
+                rows = [cnt.astype(jnp.int64).view(jnp.uint64)]
+                for o in outs:
+                    isf = jnp.issubdtype(o.dtype, jnp.floating)
+                    out_is_float.append(bool(isf))
+                    rows.append(
+                        o.astype(jnp.float64 if isf else jnp.int64).view(
+                            jnp.uint64
+                        )
+                    )
+                return jnp.stack(rows)
+
+            out_is_float: list = []
+            self._fused = (jax.jit(impl), agg_items, strides, names, out_is_float)
+        fn_jit, agg_items, strides, names, out_is_float = self._fused
+        colargs = {n: rt._col_args(n) for n in names}
+        packed = np.asarray(jax.device_get(fn_jit(colargs)))
+        cnt = packed[0].view(np.int64)
+        valid = np.flatnonzero(cnt > 0)
+        res = {"n_groups": np.int64(len(valid)), "keys": valid.astype(np.uint64)}
+        # decode composite group codes back to per-key values (codes are
+        # ranks in the SORTED dictionary, so code order == value order)
+        rem = valid.copy()
+        for k, st in zip(keys, strides):
+            codes = rem // int(st)
+            rem = rem - codes * int(st)
+            c = rt.columns[k]
+            if c.kind == "str":
+                res[f"key_{k}"] = codes.astype(np.int64)
+                res[f"dict_{k}"] = c.dictionary_pa
+            else:
+                res[f"key_{k}"] = c.dictionary_host[codes]
+        for (name, (_fn2, _c)), row, isf in zip(
+            agg_items, packed[1:], out_is_float
+        ):
+            vals = row.view(np.float64) if isf else row.view(np.int64)
+            res[name] = vals[valid]
+        if self._order or self._limit is not None:
+            res = _order_grouped_host(res, self._order, self._limit)
+        return res
 
     def _projected(self, table: DeviceTable) -> DeviceTable:
         """Restrict to the select() projection (scan may carry extra columns
@@ -301,6 +490,44 @@ class Query:
             else:
                 cols.add(c)
         return sorted(cols)
+
+
+def _order_grouped_host(res: Dict, order: List, limit: Optional[int]):
+    """ORDER BY / LIMIT over a fused grouped result (host numpy: group
+    counts are tiny).  String keys sort correctly by their CODES — resident
+    dictionaries are globally sorted."""
+    import numpy as np
+
+    n = int(res["n_groups"])
+    idx = np.arange(n)
+    if order:
+        # successive stable sorts, least-significant key first → the FIRST
+        # order item ends up the primary sort key
+        for item in reversed(order):
+            name, desc = (
+                (item[0], str(item[1]).lower().startswith("desc"))
+                if isinstance(item, tuple)
+                else (item, False)
+            )
+            sv = np.asarray(res[name])[:n][idx]
+            o = np.argsort(sv, kind="stable")
+            if desc:
+                o = o[::-1]
+            idx = idx[o]
+    if limit is not None:
+        idx = idx[:limit]
+    out = {}
+    for k, v in res.items():
+        if k == "n_groups":
+            out[k] = np.int64(len(idx))
+            continue
+        if k.startswith("dict_"):
+            out[k] = v  # the dictionary itself, not per-group data
+            continue
+        arr = np.asarray(v)
+        out[k] = arr[idx] if arr.ndim >= 1 and arr.shape[0] == n else v
+    out["taken_valid"] = np.ones(len(idx), dtype=bool)
+    return out
 
 
 def _order_grouped(

@@ -541,3 +541,55 @@ def test_resident_int64_semantics_no_int32_wrap(tmp_path, interp_pallas):
     # plain sum of the column itself also exceeds int32
     res2 = Query(rt).agg(s=("sum", "price")).run()
     assert int(res2["s"]) == int(price.sum())
+
+
+def test_resident_fused_group_order_minmax(tmp_path, interp_pallas):
+    """Fused resident grouped path: min/max/avg aggregates, numeric dict
+    keys, ORDER BY ... LIMIT."""
+    from strawboat_tpu.exec.query import Query
+    from strawboat_tpu.exec.expr import col
+
+    rng = np.random.default_rng(21)
+    n = 1000
+    g = rng.integers(0, 5, n) * 111  # numeric dict key (low cardinality)
+    v = rng.integers(-500, 500, n)
+    t = pa.table(
+        {"g": pa.array(g), "v": pa.array(v)},
+        schema=pa.schema(
+            [
+                pa.field("g", pa.int64(), nullable=False),
+                pa.field("v", pa.int64(), nullable=False),
+            ]
+        ),
+    )
+    rt = _roundtrip(tmp_path, t, "fgrp.str")
+    q = (
+        Query(rt)
+        .filter(col("v") > -400)
+        .group_by("g", num_groups=16)
+        .agg(
+            mn=("min", "v"), mx=("max", "v"), s=("sum", "v"),
+            a=("avg", "v"), c=("count", "v"),
+        )
+        .order_by(("s", "desc"))
+        .limit(3)
+    )
+    res = q.run()
+    res2 = q.run()  # memoized fused impl: second call must agree
+    sel = v > -400
+    exp = {}
+    for k in np.unique(g):
+        m = sel & (g == k)
+        if m.any():
+            exp[int(k)] = (
+                int(v[m].min()), int(v[m].max()), int(v[m].sum()),
+                float(v[m].mean()), int(m.sum()),
+            )
+    top = sorted(exp.items(), key=lambda kv: -kv[1][2])[:3]
+    assert int(res["n_groups"]) == 3
+    for i, (k, e) in enumerate(top):
+        assert int(res["key_g"][i]) == k
+        assert (int(res["mn"][i]), int(res["mx"][i]), int(res["s"][i])) == e[:3]
+        assert float(res["a"][i]) == pytest.approx(e[3])
+        assert int(res["c"][i]) == e[4]
+        assert int(res2["s"][i]) == e[2]
