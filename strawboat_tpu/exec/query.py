@@ -333,27 +333,33 @@ class Query:
                                 num_segments=cap + 1,
                             )[:cap]
                         )
-                # ONE fetch: everything bitcast through uint64 planes
-                # (each synchronous fetch is a relay round trip); per-row
-                # float/int-ness is recorded at trace time for the unpack
-                out_is_float.clear()
-                rows = [cnt.astype(jnp.int64).view(jnp.uint64)]
-                for o in outs:
-                    isf = jnp.issubdtype(o.dtype, jnp.floating)
-                    out_is_float.append(bool(isf))
-                    rows.append(
-                        o.astype(jnp.float64 if isf else jnp.int64).view(
-                            jnp.uint64
-                        )
-                    )
-                return jnp.stack(rows)
 
-            out_is_float: list = []
-            self._fused = (jax.jit(impl), agg_items, strides, names, out_is_float)
-        fn_jit, agg_items, strides, names, out_is_float = self._fused
+                # TWO fetches total: one int64 stack, one float64 stack (a
+                # single u64 bitcast stack would be ideal, but the TPU X64
+                # emulation cannot bitcast f64<->u64); per-row placement is
+                # recorded at trace time for the unpack
+                out_slot.clear()
+                int_rows = [cnt.astype(jnp.int64)]
+                flt_rows = []
+                for o in outs:
+                    if jnp.issubdtype(o.dtype, jnp.floating):
+                        out_slot.append(("f", len(flt_rows)))
+                        flt_rows.append(o.astype(jnp.float64))
+                    else:
+                        out_slot.append(("i", len(int_rows)))
+                        int_rows.append(o.astype(jnp.int64))
+                return (
+                    jnp.stack(int_rows),
+                    jnp.stack(flt_rows) if flt_rows else jnp.zeros((0, cap)),
+                )
+
+            out_slot: list = []
+            self._fused = (jax.jit(impl), agg_items, strides, names, out_slot)
+        fn_jit, agg_items, strides, names, out_slot = self._fused
         colargs = {n: rt._col_args(n) for n in names}
-        packed = np.asarray(jax.device_get(fn_jit(colargs)))
-        cnt = packed[0].view(np.int64)
+        ints, flts = jax.device_get(fn_jit(colargs))
+        ints, flts = np.asarray(ints), np.asarray(flts)
+        cnt = ints[0]
         valid = np.flatnonzero(cnt > 0)
         res = {"n_groups": np.int64(len(valid)), "keys": valid.astype(np.uint64)}
         # decode composite group codes back to per-key values (codes are
@@ -368,11 +374,9 @@ class Query:
                 res[f"dict_{k}"] = c.dictionary_pa
             else:
                 res[f"key_{k}"] = c.dictionary_host[codes]
-        for (name, (_fn2, _c)), row, isf in zip(
-            agg_items, packed[1:], out_is_float
-        ):
-            vals = row.view(np.float64) if isf else row.view(np.int64)
-            res[name] = vals[valid]
+        for (name, (_fn2, _c)), (kind_s, slot) in zip(agg_items, out_slot):
+            row = flts[slot] if kind_s == "f" else ints[slot]
+            res[name] = row[valid]
         if self._order or self._limit is not None:
             res = _order_grouped_host(res, self._order, self._limit)
         return res
