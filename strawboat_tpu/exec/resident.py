@@ -712,7 +712,12 @@ def _encode_int(name, vals: np.ndarray, tile: int, arrow_type, rows):
     if d is not None:
         uniq, codes = d
         code_bits = _bits_of(max(len(uniq) - 1, 1))
-        if code_bits < plain_bits:
+        # beyond the MXU one-hot range (kernels/gather.MAX_MXU_TABLE) a
+        # value decode pays XLA's pathological TPU gather — only keep the
+        # dictionary when the packed saving is decisive (>= 2x)
+        if len(uniq) > 8192 and code_bits * 2 > plain_bits:
+            d = None
+        elif code_bits < plain_bits:
             fits32 = vmin >= -(1 << 31) and vmax < (1 << 31)
             dev = jnp.asarray(
                 uniq.astype(np.int32) if fits32 and not wide else uniq
@@ -746,21 +751,6 @@ def _encode_float(name, vals: np.ndarray, tile: int, arrow_type, rows):
     udt = np.uint32 if is32 else np.uint64
     width = 32 if is32 else 64
     u = vals.view(udt)
-    d = _try_dict(vals)
-    if d is not None:
-        uniq, codes = d
-        code_bits = _bits_of(max(len(uniq) - 1, 1))
-        # worthwhile iff codes are narrower than the raw bit pattern
-        if code_bits < width:
-            planes, shifts = _split_planes(
-                codes.astype(np.uint64), code_bits, tile
-            )
-            return ResidentColumn(
-                name, planes, shifts, rows, kind,
-                dictionary=jnp.asarray(uniq),
-                dictionary_host=uniq.astype(np.float64) if is32 else uniq,
-                arrow_type=arrow_type,
-            )
     if len(u):
         orv = int(np.bitwise_or.reduce(u))
         tz = (orv & -orv).bit_length() - 1 if orv else 0
@@ -771,6 +761,25 @@ def _encode_float(name, vals: np.ndarray, tile: int, arrow_type, rows):
     else:
         tz, off, bits = 0, 0, 1
         us = u
+    d = _try_dict(vals)
+    if d is not None:
+        uniq, codes = d
+        code_bits = _bits_of(max(len(uniq) - 1, 1))
+        # worthwhile iff codes beat the stripped bit pattern; beyond the
+        # MXU one-hot range a value decode pays XLA's pathological gather —
+        # only keep a big dictionary when the saving is decisive (>= 2x)
+        if code_bits < bits and (
+            len(uniq) <= 8192 or code_bits * 2 <= bits
+        ):
+            planes, shifts = _split_planes(
+                codes.astype(np.uint64), code_bits, tile
+            )
+            return ResidentColumn(
+                name, planes, shifts, rows, kind,
+                dictionary=jnp.asarray(uniq),
+                dictionary_host=uniq.astype(np.float64) if is32 else uniq,
+                arrow_type=arrow_type,
+            )
     planes, shifts = _split_planes(us.astype(np.uint64), bits, tile)
     return ResidentColumn(
         name, planes, shifts, rows, kind,
