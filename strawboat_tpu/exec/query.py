@@ -274,12 +274,23 @@ class Query:
                     planes, _d = colargs[k]
                     kc = rt._decode_in_trace(k, planes, None, with_dict=False)
                     code = code + kc.astype(jnp.int64) * jnp.int64(int(st))
-                seg = jnp.where(m, code, cap)
-                cnt = jax.ops.segment_sum(
-                    m.astype(jnp.int64), seg, num_segments=cap + 1
-                )[:cap]
+                code32 = code.astype(jnp.int32)
+
+                def _int_group_sum(v, mm):
+                    # MXU one-hot path: TPU scatter-adds (segment_sum
+                    # lowering) serialize — the engine's dense grouping
+                    # idiom instead (exact via 8-bit planes)
+                    from .aggregate import dense_group_sum
+
+                    return dense_group_sum(
+                        code32, v.astype(jnp.int64), cap, mask=mm
+                    )
+
+                _zero_sums, cnt = _int_group_sum(
+                    jnp.zeros(rt.tiled_slots, dtype=jnp.int64), m
+                )
                 outs = []
-                for _name, (fn, c) in agg_items:
+                for name_i, (fn, c) in agg_items:
                     if fn == "count":
                         outs.append(cnt)
                         continue
@@ -290,12 +301,20 @@ class Query:
                         v = cols[c].values
                         vv = cols[c].validity
                         mm = m if vv is None else (m & vv)
+                    if fn in ("sum", "avg", "mean") and jnp.issubdtype(
+                        v.dtype, jnp.integer
+                    ):
+                        s, c2 = _int_group_sum(v, mm)
+                        if fn == "sum":
+                            outs.append(s)
+                        else:
+                            outs.append(
+                                s.astype(jnp.float64)
+                                / jnp.maximum(c2, 1).astype(jnp.float64)
+                            )
+                        continue
+                    seg = jnp.where(mm, code, cap)
                     if fn in ("sum", "avg", "mean"):
-                        if (
-                            jnp.issubdtype(v.dtype, jnp.integer)
-                            and v.dtype.itemsize < 8
-                        ):
-                            v = v.astype(jnp.int64)
                         s = jax.ops.segment_sum(
                             jnp.where(mm, v, 0), seg, num_segments=cap + 1
                         )[:cap]
@@ -305,13 +324,9 @@ class Query:
                             c2 = jax.ops.segment_sum(
                                 mm.astype(jnp.int64), seg, num_segments=cap + 1
                             )[:cap]
-                            ft = (
-                                v.dtype
-                                if jnp.issubdtype(v.dtype, jnp.floating)
-                                else jnp.float64
-                            )
                             outs.append(
-                                s.astype(ft) / jnp.maximum(c2, 1).astype(ft)
+                                s.astype(v.dtype)
+                                / jnp.maximum(c2, 1).astype(v.dtype)
                             )
                     else:  # min / max
                         op = (
