@@ -71,6 +71,68 @@ def main():
     t_q6 = min(_timed(lambda: float(q6(dt))) for _ in range(3))
     print(f"Q1 warm (device-resident): {t_q1*1e3:.0f} ms", flush=True)
     print(f"Q6 warm (device-resident): {t_q6*1e3:.0f} ms", flush=True)
+    del dt
+
+    # round 4: COMPRESSED-in-HBM resident serving at SF10 — full Q1 through
+    # the fused Query DSL + the Q6 filter_sum fast path
+    from strawboat_tpu.exec import Query, col, load_resident
+
+    t0 = time.perf_counter()
+    rt = load_resident(path, columns=[
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    ])
+    t_load = time.perf_counter() - t0
+    hbm = sum(
+        sum(w.size * 4 for w, _b in c.planes) for c in rt.columns.values()
+    )
+    print(
+        f"resident load: {t_load:.1f}s, {hbm/1e6:.0f} MB packed in HBM "
+        f"(vs {n*7*8/1e9:.1f} GB decoded int64)",
+        flush=True,
+    )
+    q = (
+        Query(rt)
+        .filter(col("l_shipdate") <= 1095)
+        .group_by("l_returnflag", "l_linestatus", num_groups=16)
+        .agg(
+            sum_qty=("sum", "l_quantity"),
+            sum_base_price=("sum", "l_extendedprice"),
+            sum_disc_price=("sum", col("l_extendedprice") * (1 - col("l_discount"))),
+            sum_charge=(
+                "sum",
+                col("l_extendedprice") * (1 - col("l_discount")) * (1 + col("l_tax")),
+            ),
+            avg_qty=("avg", "l_quantity"),
+            avg_price=("avg", "l_extendedprice"),
+            avg_disc=("avg", "l_discount"),
+            count_order=("count", "l_quantity"),
+        )
+    )
+    res = q.run()
+    # spot-check one group's count against numpy
+    rf = np.asarray(table.column("l_returnflag"))
+    ls = np.asarray(table.column("l_linestatus"))
+    sd = table.column("l_shipdate").to_numpy()
+    f0 = res["dict_l_returnflag"][int(res["key_l_returnflag"][0])].as_py()
+    s0 = res["dict_l_linestatus"][int(res["key_l_linestatus"][0])].as_py()
+    exp0 = int(((sd <= 1095) & (rf == f0) & (ls == s0)).sum())
+    assert int(res["count_order"][0]) == exp0, (int(res["count_order"][0]), exp0)
+    t_rq1 = min(_timed(q.run) for _ in range(4))
+    print(
+        f"resident Q1 warm (fused DSL, 8 aggs, utf8 keys): {t_rq1*1e3:.0f} ms "
+        f"= {n/t_rq1/1e6:.0f} Mrows/s, group 0 exact vs numpy",
+        flush=True,
+    )
+    def rq6():
+        return int(rt.filter_sum(
+            {"l_shipdate": (731, 1096), "l_discount": (5, 8),
+             "l_quantity": (None, 24)},
+            value="l_extendedprice", product_with="l_discount",
+        ))
+    rq6()
+    t_rq6 = min(_timed(rq6) for _ in range(4))
+    print(f"resident Q6 warm: {t_rq6*1e3:.0f} ms = {n/t_rq6/1e6:.0f} Mrows/s", flush=True)
 
 
 def _timed(fn):
