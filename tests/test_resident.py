@@ -593,3 +593,71 @@ def test_resident_fused_group_order_minmax(tmp_path, interp_pallas):
         assert float(res["a"][i]) == pytest.approx(e[3])
         assert int(res["c"][i]) == e[4]
         assert int(res2["s"][i]) == e[2]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_resident_fuzz_roundtrip(tmp_path, interp_pallas, seed):
+    """Random schema/dtype/nullability/cardinality tables roundtrip through
+    resident planes exactly, and a random range filter_sum matches numpy."""
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(300, 1500))
+    cols = {}
+    schema = []
+    kinds = rng.choice(
+        ["i64", "i32", "i64wide", "f64", "f32", "str", "bool", "neg"],
+        size=4,
+        replace=True,
+    )
+    for i, kind in enumerate(kinds):
+        name = f"c{i}_{kind}"
+        nullable = bool(rng.random() < 0.4)
+        nulls = rng.random(n) < 0.2 if nullable else None
+        if kind == "i64":
+            v = rng.integers(0, 10 ** int(rng.integers(1, 9)), n)
+            arr = pa.array(v, pa.int64())
+            ptype = pa.int64()
+        elif kind == "i32":
+            v = rng.integers(0, 1 << 20, n).astype(np.int32)
+            arr = pa.array(v, pa.int32())
+            ptype = pa.int32()
+        elif kind == "i64wide":
+            v = rng.integers(-(1 << 62), 1 << 62, n)
+            arr = pa.array(v, pa.int64())
+            ptype = pa.int64()
+        elif kind == "neg":
+            v = rng.integers(-10000, 100, n)
+            arr = pa.array(v, pa.int64())
+            ptype = pa.int64()
+        elif kind == "f64":
+            v = np.round(rng.uniform(-1000, 1000, n), int(rng.integers(0, 4)))
+            arr = pa.array(v, pa.float64())
+            ptype = pa.float64()
+        elif kind == "f32":
+            v = rng.standard_normal(n).astype(np.float32)
+            arr = pa.array(v, pa.float32())
+            ptype = pa.float32()
+        elif kind == "bool":
+            v = rng.random(n) < 0.5
+            arr = pa.array(v, pa.bool_())
+            ptype = pa.bool_()
+        else:  # str
+            words = np.array(["aa", "bb", "cc", "dd", "ee", "ffff", ""])
+            v = words[rng.integers(0, len(words), n)]
+            arr = pa.array(v, pa.string())
+            ptype = pa.string()
+        if nulls is not None:
+            arr = pa.array(arr.to_pylist(), ptype, mask=nulls)
+        cols[name] = arr
+        schema.append(pa.field(name, ptype, nullable=nullable))
+    t = pa.table(cols, schema=pa.schema(schema))
+    rt = _roundtrip(tmp_path, t, f"fuzz{seed}.str", page=256)
+    # random filter_sum over the first int column, if any
+    for f in t.schema:
+        if pa.types.is_integer(f.type):
+            src = t.column(f.name).combine_chunks()
+            v = np.asarray(src.fill_null(0), dtype=np.int64)
+            ok = ~np.asarray(src.is_null())
+            lo = int(np.min(v)) if len(v) else 0
+            got = int(rt.filter_sum({f.name: (lo, None)}, value=f.name))
+            assert got == int(v[ok & (v >= lo)].sum())
+            break
