@@ -17,3 +17,4 @@ from .dist_scan import (  # noqa: F401
     distributed_scan_dataset,
     local_shard_table,
 )
+from .dist_resident import shard_resident, sharded_group_sum  # noqa: F401

@@ -661,3 +661,33 @@ def test_resident_fuzz_roundtrip(tmp_path, interp_pallas, seed):
             got = int(rt.filter_sum({f.name: (lo, None)}, value=f.name))
             assert got == int(v[ok & (v >= lo)].sum())
             break
+
+
+def test_sharded_resident_group_sum(tmp_path, interp_pallas):
+    """Planes sharded over the 8-device mesh; one psum-combined grouped
+    aggregate equals the single-table truth exactly."""
+    from strawboat_tpu.exec.resident import load_resident
+    from strawboat_tpu.parallel import make_mesh
+    from strawboat_tpu.parallel.dist_resident import (
+        shard_resident,
+        sharded_group_sum,
+    )
+
+    p, cols = _write(tmp_path, n=4096, seed=17)
+    rt = load_resident(p, tile=512)
+    mesh = make_mesh(8)
+    srt = shard_resident(rt, mesh, "shards")
+    (sums,), cnt = sharded_group_sum(
+        srt,
+        "grp",
+        ["ep"],
+        num_groups=6,
+        predicates={"sd": (400, 2000)},
+    )
+    sums = np.asarray(sums)
+    cnt = np.asarray(cnt)
+    sel = (cols["sd"] >= 400) & (cols["sd"] < 2000)
+    for g in range(6):
+        mg = sel & (cols["grp"] == g)
+        assert sums[g] == int(cols["ep"][mg].astype(np.int64).sum()), g
+        assert cnt[g] == int(mg.sum()), g
