@@ -892,11 +892,33 @@ def make_resident(table, tile: Optional[int] = None) -> ResidentTable:
     if not isinstance(table, pa.Table):
         table = table.to_arrow()
     table = table.combine_chunks()
+    fields = list(table.schema)
+    if len(fields) > 1:
+        # per-column encodes are numpy/arrow-C++ heavy (GIL-released hot
+        # loops) — thread them like read_table threads its columns
+        import concurrent.futures as cf
+        import os as _os
+
+        with cf.ThreadPoolExecutor(
+            max_workers=min(len(fields), _os.cpu_count() or 2)
+        ) as pool:
+            encoded = list(
+                pool.map(
+                    lambda f: _encode_resident_column(
+                        f, table.column(f.name), tile
+                    ),
+                    fields,
+                )
+            )
+    else:
+        encoded = [
+            _encode_resident_column(f, table.column(f.name), tile)
+            for f in fields
+        ]
     out: Dict[str, ResidentColumn] = {}
     n_rows = None
     slots = None
-    for field in table.schema:
-        col = _encode_resident_column(field, table.column(field.name), tile)
+    for field, col in zip(fields, encoded):
         if n_rows is None:
             n_rows, slots = col.length, col.tiled_slots
         elif col.length != n_rows or col.tiled_slots != slots:

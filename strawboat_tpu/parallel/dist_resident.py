@@ -158,6 +158,135 @@ def _decode_local(col: ShardedResidentColumn, planes_wt3, dictionary):
     return jax.lax.bitcast_convert_type(u, jnp.int64)
 
 
+def _bound_scalars_sharded(srt, predicates, pcols):
+    import jax.numpy as jnp
+
+    los, his = [], []
+    for cname in pcols:
+        lo, hi = predicates[cname]
+        dh = srt.columns[cname].dictionary_host
+        if dh is not None:
+            lo = None if lo is None else int(np.searchsorted(dh, lo, "left"))
+            hi = None if hi is None else int(np.searchsorted(dh, hi, "left"))
+        if predicates[cname][0] is not None:
+            los.append(jnp.asarray(lo))
+        if predicates[cname][1] is not None:
+            his.append(jnp.asarray(hi))
+    return tuple(los), tuple(his)
+
+
+def sharded_filter_sum(
+    srt: ShardedResidentTable,
+    predicates: Dict[str, Tuple[Optional[float], Optional[float]]],
+    value: str,
+    product_with: Optional[str] = None,
+):
+    """Q6 shape over a SHARDED resident table: per-shard fused decode +
+    code-space predicates + local sum, combined with one ``psum``."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    predicates = predicates or {}
+    pcols = tuple(sorted(predicates))
+    flags = tuple(
+        (predicates[c][0] is not None, predicates[c][1] is not None)
+        for c in pcols
+    )
+    names = list(
+        dict.fromkeys(
+            pcols + (value,) + ((product_with,) if product_with else ())
+        )
+    )
+    ck = ("sfs", pcols, flags, value, product_with)
+    fn = srt._jit_cache.get(ck)
+    mesh, axis = srt.mesh, srt.axis
+    rows_per_shard = srt.rows_per_shard
+    num_rows = srt.num_rows
+    los, his = _bound_scalars_sharded(srt, predicates, pcols)
+    if fn is None:
+        value_cols = {value} | ({product_with} if product_with else set())
+
+        def shard_fn(colargs, los_, his_):
+            from ..exec.resident import _rows_to_t_major
+            from ..kernels.bitunpack_pallas import (
+                bitunpack_pallas_tiled_seeded,
+            )
+
+            base = jax.lax.axis_index(axis).astype(jnp.int64) * rows_per_shard
+            rows = base + jnp.arange(rows_per_shard, dtype=jnp.int64)
+            m = rows < num_rows
+            cols = {}
+            codes = {}
+            for n in names:
+                planes, dictionary, vp = colargs[n]
+                c = srt.columns[n]
+                if n in value_cols:
+                    cols[n] = _decode_local(c, planes, dictionary)
+                if n in pcols:
+                    codes[n] = _decode_local(c, planes, None)
+                if vp is not None:
+                    v3 = bitunpack_pallas_tiled_seeded(vp, jnp.uint32(0), 1)
+                    m = m & (_rows_to_t_major(v3, 1).reshape(-1) != 0)
+            li = hi_i = 0
+            for cname, (has_lo, has_hi) in zip(pcols, flags):
+                cv = codes[cname]
+                if has_lo:
+                    m = m & (cv >= los_[li])
+                    li += 1
+                if has_hi:
+                    m = m & (cv < his_[hi_i])
+                    hi_i += 1
+            acc = cols[value]
+            if product_with is not None:
+                acc = acc.astype(
+                    acc.dtype
+                    if jnp.issubdtype(acc.dtype, jnp.floating)
+                    else jnp.int64
+                ) * cols[product_with]
+            dt = (
+                jnp.float64
+                if jnp.issubdtype(acc.dtype, jnp.floating)
+                else jnp.int64
+            )
+            return jax.lax.psum(
+                jnp.sum(jnp.where(m, acc, 0), dtype=dt), axis
+            )
+
+        in_spec_col = {
+            n: (
+                tuple(P(axis) for _p in srt.columns[n].planes),
+                None if srt.columns[n].dictionary is None else P(),
+                None if srt.columns[n].validity_plane is None else P(axis),
+            )
+            for n in names
+        }
+        fn = jax.jit(
+            shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(
+                    in_spec_col,
+                    tuple(P() for _ in los),
+                    tuple(P() for _ in his),
+                ),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+        srt._jit_cache[ck] = fn
+    colargs = {
+        n: (
+            tuple(w for w, _b in srt.columns[n].planes),
+            srt.columns[n].dictionary,
+            srt.columns[n].validity_plane,
+        )
+        for n in names
+    }
+    return fn(colargs, los, his)
+
+
 def sharded_group_sum(
     srt: ShardedResidentTable,
     key: str,
@@ -195,18 +324,7 @@ def sharded_group_sum(
     num_rows = srt.num_rows
 
     # host-side code-space bound translation (sorted global dictionaries)
-    los, his = [], []
-    for cname in pcols:
-        lo, hi = predicates[cname]
-        dh = srt.columns[cname].dictionary_host
-        if dh is not None:
-            lo = None if lo is None else int(np.searchsorted(dh, lo, "left"))
-            hi = None if hi is None else int(np.searchsorted(dh, hi, "left"))
-        if predicates[cname][0] is not None:
-            los.append(jnp.asarray(lo))
-        if predicates[cname][1] is not None:
-            his.append(jnp.asarray(hi))
-    los, his = tuple(los), tuple(his)
+    los, his = _bound_scalars_sharded(srt, predicates, pcols)
 
     if fn is None:
 

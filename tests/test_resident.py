@@ -691,3 +691,33 @@ def test_sharded_resident_group_sum(tmp_path, interp_pallas):
         mg = sel & (cols["grp"] == g)
         assert sums[g] == int(cols["ep"][mg].astype(np.int64).sum()), g
         assert cnt[g] == int(mg.sum()), g
+
+
+def test_sharded_resident_filter_sum(tmp_path, interp_pallas):
+    from strawboat_tpu.exec.resident import load_resident
+    from strawboat_tpu.parallel import make_mesh
+    from strawboat_tpu.parallel.dist_resident import (
+        shard_resident,
+        sharded_filter_sum,
+    )
+
+    p, cols = _write(tmp_path, n=4096, seed=23)
+    rt = load_resident(p, tile=512)
+    srt = shard_resident(rt, make_mesh(8), "shards")
+    got = int(
+        sharded_filter_sum(
+            srt,
+            {"sd": (731, 1096), "disc": (5, 8), "qty": (None, 24)},
+            value="ep",
+            product_with="disc",
+        )
+    )
+    m = (
+        (cols["sd"] >= 731)
+        & (cols["sd"] < 1096)
+        & (cols["disc"] >= 5)
+        & (cols["disc"] < 8)
+        & (cols["qty"] < 24)
+    )
+    exp = int((cols["ep"][m].astype(np.int64) * cols["disc"][m]).sum())
+    assert got == exp
