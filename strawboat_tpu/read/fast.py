@@ -255,7 +255,12 @@ def _read_raw_binary_column(raw_jobs, meta, field, odtype, validities, nullable)
     val_lens = np.asarray([j[5] for j in raw_jobs], dtype=np.int64)
     val_offs = np.zeros(n_pages + 1, dtype=np.int64)
     np.cumsum(val_lens, out=val_offs[1:])
-    values = np.empty(int(val_offs[-1]), dtype=np.uint8)
+    values_buf = pa.allocate_buffer(int(val_offs[-1]))
+    values = (
+        np.frombuffer(values_buf, np.uint8)
+        if val_offs[-1]
+        else np.empty(0, np.uint8)
+    )
     # page-offset arrays land back-to-back; page i's (n_i + 1) entries start
     # at sum(n_j + 1, j < i)
     ocount = counts + 1
@@ -286,7 +291,8 @@ def _read_raw_binary_column(raw_jobs, meta, field, odtype, validities, nullable)
         i = j
     offs_typed = offs_all.view(odtype)
     # final row offsets: page-local zero-based offsets + that page's value base
-    out_offs = np.empty(n_rows + 1, dtype=odtype)
+    out_offs_buf = pa.allocate_buffer((n_rows + 1) * odtype.itemsize)
+    out_offs = np.frombuffer(out_offs_buf, odtype)
     out_offs[0] = 0
     row = 0
     opos = 0
@@ -310,7 +316,7 @@ def _read_raw_binary_column(raw_jobs, meta, field, odtype, validities, nullable)
     return pa.Array.from_buffers(
         field.type,
         n_rows,
-        [null_bitmap, pa.py_buffer(out_offs), pa.py_buffer(values)],
+        [null_bitmap, out_offs_buf, values_buf],
     )
 
 
@@ -408,7 +414,15 @@ def read_column_fast(
         pos = page_end
     n_rows = row
     total = n_rows * width
-    out = arena.get(total) if arena is not None else np.empty(total, np.uint8)
+    if arena is not None:
+        out = arena.get(total)
+        out_buf = pa.py_buffer(out)
+    else:
+        # arrow's jemalloc pool recycles freed reads — a fresh np.empty
+        # pays kernel page-zeroing + first-touch on every byte (~40 ms/GB),
+        # which is exactly the edge parquet-C++ readers get for free
+        out_buf = pa.allocate_buffer(total)
+        out = np.frombuffer(out_buf, np.uint8) if total else np.empty(0, np.uint8)
     out_typed = out.view(np_dtype)
     # raw runs: threaded native decompress straight into the final buffer
     i, n = 0, len(raw_jobs)
@@ -466,5 +480,5 @@ def read_column_fast(
             np.packbits(vbits, bitorder="little").tobytes()
         )
     return pa.Array.from_buffers(
-        field.type, n_rows, [null_bitmap, pa.py_buffer(out)]
+        field.type, n_rows, [null_bitmap, out_buf]
     )
