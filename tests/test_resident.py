@@ -721,3 +721,35 @@ def test_sharded_resident_filter_sum(tmp_path, interp_pallas):
     )
     exp = int((cols["ep"][m].astype(np.int64) * cols["disc"][m]).sum())
     assert got == exp
+
+
+def test_sharded_resident_float_sums(tmp_path, interp_pallas):
+    """Float value columns in the sharded grouped path (segment-sum branch)."""
+    from strawboat_tpu.exec.resident import make_resident
+    from strawboat_tpu.parallel import make_mesh
+    from strawboat_tpu.parallel.dist_resident import (
+        shard_resident,
+        sharded_group_sum,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    g = rng.integers(0, 4, n)
+    f = np.round(rng.uniform(0, 100, n), 2)
+    t = pa.table(
+        {"g": pa.array(g), "f": pa.array(f)},
+        schema=pa.schema(
+            [
+                pa.field("g", pa.int64(), nullable=False),
+                pa.field("f", pa.float64(), nullable=False),
+            ]
+        ),
+    )
+    rt = make_resident(t, tile=512)
+    srt = shard_resident(rt, make_mesh(8), "shards")
+    (sums,), cnt = sharded_group_sum(srt, "g", ["f"], num_groups=4)
+    sums, cnt = np.asarray(sums), np.asarray(cnt)
+    for k in range(4):
+        sel = g == k
+        assert sums[k] == pytest.approx(float(f[sel].sum()), rel=1e-12)
+        assert cnt[k] == int(sel.sum())
