@@ -164,10 +164,12 @@ def _slot_source_index(n_tiles: int, tile: int) -> np.ndarray:
     slot (tile_i, t, lane): lane_global = tile_i*tile + lane = 4*blk + l;
     source = 128*blk + 4*t + l — independent of the bit width.
 
-    Resident packing SCATTERS values against this map, so decoded tiled
-    order IS natural row order — the "natural-order restore" disappears
-    entirely (the r3 cliff: an HBM-side 16-byte-granularity transpose, and
-    the in-VMEM reorder kernel does not lower through the remote Mosaic).
+    Resident packing feeds values through this permutation's INVERSE (a
+    pure reshape/transpose in ``_pack_plane``), so decoded tiled order IS
+    natural row order — the "natural-order restore" disappears entirely
+    (the r3 cliff: an HBM-side 16-byte-granularity transpose, and the
+    in-VMEM reorder kernel does not lower through the remote Mosaic).
+    Kept as the authoritative statement of the mapping (and for tests).
     """
     shape = (n_tiles, 32, tile)
     ti, t, lane = np.indices(shape, sparse=True)
@@ -592,17 +594,6 @@ class ResidentTable:
 # ---------------------------------------------------------------------------
 
 
-_SLOT_MAP_CACHE: Dict[Tuple[int, int], np.ndarray] = {}
-
-
-def _slot_map(n_tiles: int, tile: int) -> np.ndarray:
-    key = (n_tiles, tile)
-    hit = _SLOT_MAP_CACHE.get(key)
-    if hit is None:
-        hit = _SLOT_MAP_CACHE[key] = _slot_source_index(n_tiles, tile)
-    return hit
-
-
 def _pack_plane(vals: np.ndarray, bits: int, tile: int):
     """(n,) uint32 values (< 2^bits) → (n_tiles, bits, tile) device words,
     PRE-PERMUTED so the tiled unpack emits natural row order directly."""
@@ -618,15 +609,17 @@ def _pack_plane(vals: np.ndarray, bits: int, tile: int):
     lanes_final = -(-lanes // tile) * tile
     slots = lanes_final * 32
     n_tiles = lanes_final // tile
-    src = _slot_map(n_tiles, tile)
     padded = (
         vals
         if len(vals) == slots
         else np.concatenate([vals, np.zeros(slots - len(vals), np.uint32)])
     )
-    # output slot s reads pack-input position src[s]; want output[s] = row s
-    feed = np.empty(slots, dtype=np.uint32)
-    feed[src] = padded
+    # output slot s reads pack-input position src(s); want output[s] = row s.
+    # The inverse permutation is a pure reshape/transpose (no scatter):
+    # feed[ti, B, t, l] = tm[ti, t, 4B + l] where tm = rows in slot order
+    feed = np.ascontiguousarray(
+        padded.reshape(n_tiles, 32, tile // 4, 4).transpose(0, 2, 1, 3)
+    ).reshape(-1)
     words = pack_blocks(feed.reshape(-1, 128), bits)
     return jnp.asarray(transpose_words_host_tiled(words.reshape(-1), bits, tile))
 
