@@ -19,6 +19,9 @@ Metrics (in print order; the HEADLINE is computed first, printed last):
                                  + sum, natural row order
   resident_scan_bandwidth_tiled— same consumed in kernel-tiled order
                                  (order-invariant consumers skip the restore)
+  resident_q1_latency_ms       — full TPC-H Q1 over compressed-in-HBM
+                                 planes (fused one-jit dense-key path),
+                                 exact vs numpy
   scaling_efficiency_proxy     — config 5 / BASELINE ≥85% 1→N target as a
                                  virtual-8-CPU-mesh code-path proxy
                                  (subprocess; NOT a chip measurement —
@@ -697,6 +700,93 @@ def bench_bitunpack():
     )
 
 
+def bench_resident_q1(tmpdir: str):
+    """TPC-H Q1 over a COMPRESSED-in-HBM resident table (the serving shape):
+    fused one-jit dense-key grouped aggregate, exact vs numpy.
+    vs_baseline = numpy single-core Q1-ish time / ours.
+    """
+    import numpy as np
+
+    from strawboat_tpu.api import write_file
+    from strawboat_tpu.benchsuite.tpch import generate_lineitem
+    from strawboat_tpu.codecs import WriteOptions
+    from strawboat_tpu.constants import Compression
+    from strawboat_tpu.exec import Query, col, load_resident
+
+    n = int(os.environ.get("SB_RES_Q1_ROWS", 2_000_000))
+    table = generate_lineitem(scale=1.0, rows=n)
+    cols = [
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    ]
+    path = os.path.join(tmpdir, "res_q1.str")
+    write_file(
+        path,
+        table.select(cols),
+        options=WriteOptions(
+            default_compression=Compression.LZ4,
+            default_compress_ratio=1.0,
+            max_page_size=65536,
+        ),
+    )
+    rt = load_resident(path)
+    hbm = sum(
+        sum(w.size * 4 for w, _b in c.planes) for c in rt.columns.values()
+    )
+    q = (
+        Query(rt)
+        .filter(col("l_shipdate") <= 1095)
+        .group_by("l_returnflag", "l_linestatus", num_groups=16)
+        .agg(
+            sum_qty=("sum", "l_quantity"),
+            sum_base_price=("sum", "l_extendedprice"),
+            sum_disc_price=("sum", col("l_extendedprice") * (1 - col("l_discount"))),
+            sum_charge=(
+                "sum",
+                col("l_extendedprice") * (1 - col("l_discount")) * (1 + col("l_tax")),
+            ),
+            avg_qty=("avg", "l_quantity"),
+            avg_price=("avg", "l_extendedprice"),
+            avg_disc=("avg", "l_discount"),
+            count_order=("count", "l_quantity"),
+        )
+    )
+    res = q.run()  # compile
+    # exactness spot check (group 0 count + qty sum)
+    rf = np.asarray(table.column("l_returnflag"))
+    ls = np.asarray(table.column("l_linestatus"))
+    sd = table.column("l_shipdate").to_numpy()
+    qty = table.column("l_quantity").to_numpy()
+    f0 = res["dict_l_returnflag"][int(res["key_l_returnflag"][0])].as_py()
+    s0 = res["dict_l_linestatus"][int(res["key_l_linestatus"][0])].as_py()
+    sel0 = (sd <= 1095) & (rf == f0) & (ls == s0)
+    assert int(res["count_order"][0]) == int(sel0.sum()), "resident Q1 wrong"
+    assert int(res["sum_qty"][0]) == int(qty[sel0].sum()), "resident Q1 wrong"
+    t_q1 = min(_timed(q.run) for _ in range(4))
+
+    def q1_numpyish():
+        sel = sd <= 1095
+        out = {}
+        for f in np.unique(rf):
+            for s in np.unique(ls):
+                m = sel & (rf == f) & (ls == s)
+                out[(f, s)] = (qty[m].sum(), m.sum())
+        return out
+
+    t_np = min(_timed(q1_numpyish) for _ in range(2))
+    emit(
+        "resident_q1_latency_ms",
+        t_q1 * 1e3,
+        "ms",
+        t_np / t_q1,
+        rows=n,
+        mrows_per_s=round(n / t_q1 / 1e6, 1),
+        packed_mb=round(hbm / 1e6, 1),
+        note="full Q1 (8 aggs, utf8 keys, date filter) over compressed-in-"
+        "HBM planes, fused one-jit dense-key path, exact vs numpy",
+    )
+
+
 def bench_scaling_proxy():
     """BASELINE >=85% 1->N scaling target, as a CPU-mesh code-path proxy.
 
@@ -770,6 +860,7 @@ def main() -> int:
             lambda: bench_e2e_scan(tmpdir),
             lambda: bench_tpch(tmpdir),
             lambda: bench_resident_scan(tmpdir),
+            lambda: bench_resident_q1(tmpdir),
             bench_scaling_proxy,
         ):
             if time.perf_counter() - t_start > 1000:

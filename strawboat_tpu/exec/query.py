@@ -252,17 +252,18 @@ class Query:
             )
 
             def impl(colargs):
+                from .resident import _unpack_plane_tiled
                 from .scan import DeviceColumn, DeviceTable as _DT
 
                 cols = {}
                 for n in names:
-                    planes, dictionary = colargs[n]
+                    planes, dictionary, vp = colargs[n]
                     c = rt.columns[n]
                     cols[n] = DeviceColumn(
                         n,
                         c.arrow_type,
                         rt._decode_in_trace(n, planes, dictionary),
-                        rt.validity_tiled(n),
+                        None if vp is None else _unpack_plane_tiled(vp, 1) != 0,
                         dictionary=c.dictionary_pa,
                     )
                 table = _DT(cols, rt.tiled_slots)
@@ -271,7 +272,7 @@ class Query:
                     m = m & filt.mask(table)
                 code = jnp.zeros(rt.tiled_slots, dtype=jnp.int64)
                 for k, st in zip(keys, strides):
-                    planes, _d = colargs[k]
+                    planes, _d, _vp = colargs[k]
                     kc = rt._decode_in_trace(k, planes, None, with_dict=False)
                     code = code + kc.astype(jnp.int64) * jnp.int64(int(st))
                 code32 = code.astype(jnp.int32)
@@ -371,7 +372,10 @@ class Query:
             out_slot: list = []
             self._fused = (jax.jit(impl), agg_items, strides, names, out_slot)
         fn_jit, agg_items, strides, names, out_slot = self._fused
-        colargs = {n: rt._col_args(n) for n in names}
+        colargs = {
+            n: rt._col_args(n) + (rt.columns[n].validity_plane,)
+            for n in names
+        }
         ints, flts = jax.device_get(fn_jit(colargs))
         ints, flts = np.asarray(ints), np.asarray(flts)
         cnt = ints[0]

@@ -753,3 +753,42 @@ def test_sharded_resident_float_sums(tmp_path, interp_pallas):
         sel = g == k
         assert sums[k] == pytest.approx(float(f[sel].sum()), rel=1e-12)
         assert cnt[k] == int(sel.sum())
+
+
+def test_resident_fused_nullable_values(tmp_path, interp_pallas):
+    """Fused grouped path over a NULLABLE value column: null rows never
+    count (validity plane passed as a jit argument, not a baked constant)."""
+    from strawboat_tpu.exec.query import Query
+
+    rng = np.random.default_rng(41)
+    n = 900
+    g = np.array(["x", "y", "z"])[rng.integers(0, 3, n)]
+    v = rng.integers(0, 1000, n)
+    nulls = rng.random(n) < 0.3
+    t = pa.table(
+        {
+            "g": pa.array(g),
+            "v": pa.array(np.where(nulls, 0, v), mask=nulls),
+        },
+        schema=pa.schema(
+            [
+                pa.field("g", pa.string(), nullable=False),
+                pa.field("v", pa.int64(), nullable=True),
+            ]
+        ),
+    )
+    rt = _roundtrip(tmp_path, t, "fnul.str")
+    res = (
+        Query(rt)
+        .group_by("g", num_groups=8)
+        .agg(s=("sum", "v"), c=("count", "v"))
+        .run()
+    )
+    got = {}
+    for i in range(int(res["n_groups"])):
+        name = res["dict_g"][int(res["key_g"][i])].as_py()
+        got[name] = (int(res["s"][i]), int(res["c"][i]))
+    for name in "xyz":
+        sel = (g == name) & ~nulls
+        # count counts FILTER-surviving rows (mask only); sum skips nulls
+        assert got[name][0] == int(v[sel].sum())
