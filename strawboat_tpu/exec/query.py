@@ -230,7 +230,9 @@ class Query:
         cap = 1
         for s in sizes:
             cap *= s
-        if cap == 0 or cap > (1 << 20):
+        # one-hot grouping FLOPs scale with rows x cap: beyond ~4k composite
+        # groups the matmul outgrows the sort-based general path
+        if cap == 0 or cap > 4096:
             return None
         for fn, _c in self._aggs.values():
             if fn not in ("sum", "count", "min", "max", "avg", "mean"):

@@ -32,8 +32,8 @@ writer's chooser emits are covered by construction):
 
 Row order: packing PRE-PERMUTES values so the tiled kernel's t-major
 output IS natural row order (the pack→unpack pipeline is a fixed
-width-independent permutation; feeding its inverse at load costs one host
-scatter).  Tiled slot s therefore holds natural row s for every plane of
+width-independent permutation; its inverse is a pure reshape/transpose
+applied once at load).  Tiled slot s therefore holds natural row s for every plane of
 every column — cross-column predicates/aggregations align trivially,
 padding is the tail, and NATURAL-order materialization runs at the same
 streaming rate as tiled consumption (round 3's 70x natural-order cliff —
@@ -47,8 +47,8 @@ Query access paths:
   :class:`DeviceTable` + padding mask, so the WHOLE query stack
   (``Query.filter/group_by/agg/join/order_by``, expression DSL, string
   dictionaries) runs over resident data unchanged.
-* ``to_arrow()`` — natural-order materialization via the in-VMEM
-  natural-order kernel (no HBM-granularity transpose).
+* ``to_arrow()`` — natural-order materialization (free: tiled output is
+  already natural order, just truncated).
 
 Capability note vs the reference: the reference decodes to host memory and
 has no resident representation (src/read/batch_read.rs); this is the

@@ -366,7 +366,9 @@ def sharded_group_sum(
             cnt = None
             for vname in values:
                 vv = cols[vname]
-                if jnp.issubdtype(vv.dtype, jnp.floating):
+                # one-hot FLOPs scale with rows x groups: beyond ~4k groups
+                # the scatter path wins despite TPU serialization
+                if jnp.issubdtype(vv.dtype, jnp.floating) or num_groups > 4096:
                     seg = jnp.where(m, k, num_groups)
                     s = jax.ops.segment_sum(
                         jnp.where(m, vv, 0), seg, num_segments=num_groups + 1
