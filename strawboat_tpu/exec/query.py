@@ -118,12 +118,18 @@ class Query:
             isinstance(self.path, ResidentTable)
             and self._join is None
             and not self._distinct
-            and self._keys
             and self._aggs
         ):
+            # keys=[] runs as a single dense group (cap 1): the fused
+            # scalar-aggregate shape (Q6 through the DSL)
             fused = self._try_run_resident_fused()
             if fused is not None:
-                return fused
+                if self._keys:
+                    return fused
+                if int(fused["n_groups"]) == 1:
+                    return {name: fused[name][0] for name in self._aggs}
+                # zero surviving rows: the general path defines the
+                # empty-aggregate semantics (rare edge; not worth forking)
         table = self.scan()
         base_mask = self._base_mask
         row_order_sensitive = (

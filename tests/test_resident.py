@@ -792,3 +792,35 @@ def test_resident_fused_nullable_values(tmp_path, interp_pallas):
         sel = (g == name) & ~nulls
         # count counts FILTER-surviving rows (mask only); sum skips nulls
         assert got[name][0] == int(v[sel].sum())
+
+
+def test_resident_fused_scalar_aggs(tmp_path, interp_pallas):
+    """Ungrouped aggregates over a resident source fuse as a 1-group dense
+    pass (the Q6-via-DSL shape)."""
+    from strawboat_tpu.exec.query import Query
+    from strawboat_tpu.exec.expr import col
+
+    p, cols = _write(tmp_path, seed=29)
+    from strawboat_tpu.exec.resident import load_resident
+
+    rt = load_resident(p, tile=512)
+    q = (
+        Query(rt)
+        .filter((col("sd") >= 731) & (col("sd") < 1096) & (col("qty") < 24))
+        .agg(
+            rev=("sum", col("ep") * col("disc")),
+            n=("count", "ep"),
+            mx=("max", "ep"),
+        )
+    )
+    res = q.run()
+    m = (cols["sd"] >= 731) & (cols["sd"] < 1096) & (cols["qty"] < 24)
+    assert int(res["rev"]) == int(
+        (cols["ep"][m].astype(np.int64) * cols["disc"][m]).sum()
+    )
+    assert int(res["n"]) == int(m.sum())
+    assert int(res["mx"]) == int(cols["ep"][m].max())
+    # empty-selection edge falls back to general-path semantics
+    q2 = Query(rt).filter(col("sd") < -1).agg(s=("sum", "ep"), c=("count", "ep"))
+    res2 = q2.run()
+    assert int(res2["s"]) == 0 and int(res2["c"]) == 0
