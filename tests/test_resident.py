@@ -824,3 +824,43 @@ def test_resident_fused_scalar_aggs(tmp_path, interp_pallas):
     q2 = Query(rt).filter(col("sd") < -1).agg(s=("sum", "ep"), c=("count", "ep"))
     res2 = q2.run()
     assert int(res2["s"]) == 0 and int(res2["c"]) == 0
+
+
+def test_resident_join_both_sides(tmp_path, interp_pallas):
+    """Probe AND build sides both resident (padding masks on each side)."""
+    from strawboat_tpu.exec.query import Query
+    from strawboat_tpu.exec.resident import make_resident
+
+    rng = np.random.default_rng(51)
+    n = 700
+    key = rng.integers(0, 40, n)
+    val = rng.integers(0, 100, n)
+    probe = pa.table(
+        {"k": pa.array(key), "v": pa.array(val)},
+        schema=pa.schema(
+            [
+                pa.field("k", pa.int64(), nullable=False),
+                pa.field("v", pa.int64(), nullable=False),
+            ]
+        ),
+    )
+    bkey = np.arange(40, dtype=np.int64)
+    bval = (bkey * 3).astype(np.int64)
+    build = pa.table(
+        {"bk": pa.array(bkey), "w": pa.array(bval)},
+        schema=pa.schema(
+            [
+                pa.field("bk", pa.int64(), nullable=False),
+                pa.field("w", pa.int64(), nullable=False),
+            ]
+        ),
+    )
+    rt_p = make_resident(probe, tile=512)
+    rt_b = make_resident(build, tile=512)
+    res = (
+        Query(rt_p)
+        .join(Query(rt_b), on=("k", "bk"))
+        .agg(s=("sum", "w"))
+        .run()
+    )
+    assert int(res["s"]) == int(bval[key].sum())
