@@ -169,6 +169,23 @@ def read_binary_column_fast(
             )
             pos = page_end
             continue
+        if codec == Compression.ONE_VALUE:
+            # [u32 len][bytes]: joins EITHER page family — as a 1-entry
+            # dictionary (dict mix) or a constant run (raw mix)
+            ln = int(np.frombuffer(buf, "<u4", 1, body)[0])
+            val = bytes(buf[body + 4 : body + 4 + ln])
+            jobs.append(
+                (
+                    page.num_values,
+                    None,
+                    None,
+                    pa.array([val], pa.binary()),
+                    (False, np.zeros(page.num_values, dtype=np.uint32)),
+                )
+            )
+            raw_jobs.append((page.num_values, -1, val, 0, None, 0))
+            pos = page_end
+            continue
         if codec != Compression.DICT:
             return None
         icodec, icsize, _ius, ibody = read_header(buf, body)
@@ -199,9 +216,12 @@ def read_binary_column_fast(
             )
         )
         pos = page_end
-    if raw_jobs and jobs:
+    n_dict = sum(1 for j in jobs if j[1] is not None)
+    n_raw = sum(1 for j in raw_jobs if j[1] >= 0)
+    if n_dict and n_raw:
         return None  # mixed dict/raw string column: general reader
-    if raw_jobs:
+    if n_raw or (not n_dict and raw_jobs):
+        # raw (+ OneValue) pages — OV entries carry their constant inline
         return _read_raw_binary_column(
             raw_jobs, meta, field, odtype, validities, nullable
         )
@@ -246,13 +266,20 @@ def read_binary_column_fast(
 
 
 def _read_raw_binary_column(raw_jobs, meta, field, odtype, validities, nullable):
-    """All-raw two-block string/binary column: ONE threaded native batch
-    decompress for every offsets and values block straight into the final
-    buffers; per-page offset rebase is a vectorized add."""
+    """Raw two-block (+ OneValue) string/binary column: ONE threaded native
+    batch decompress for every offsets and values block straight into the
+    final buffers; per-page offset rebase is a vectorized add.  OneValue
+    pages (codec -1, constant bytes inline) fill their slices directly."""
     n_rows = int(sum(j[0] for j in raw_jobs))
     n_pages = len(raw_jobs)
     counts = np.asarray([j[0] for j in raw_jobs], dtype=np.int64)
-    val_lens = np.asarray([j[5] for j in raw_jobs], dtype=np.int64)
+    val_lens = np.asarray(
+        [
+            (j[0] * len(j[2]) if j[1] < 0 else j[5])
+            for j in raw_jobs
+        ],
+        dtype=np.int64,
+    )
     val_offs = np.zeros(n_pages + 1, dtype=np.int64)
     np.cumsum(val_lens, out=val_offs[1:])
     values_buf = pa.allocate_buffer(int(val_offs[-1]))
@@ -274,6 +301,17 @@ def _read_raw_binary_column(raw_jobs, meta, field, odtype, validities, nullable)
         while j < n_pages and raw_jobs[j][1] == raw_jobs[i][1]:
             j += 1
         codec = raw_jobs[i][1]
+        if codec < 0:
+            # OneValue run: constants fill their value slices directly; the
+            # local offsets synthesize below (no offsets block exists)
+            for k in range(i, j):
+                nv, _c, val = raw_jobs[k][0], raw_jobs[k][1], raw_jobs[k][2]
+                if len(val):
+                    values[val_offs[k] : val_offs[k + 1]] = np.tile(
+                        np.frombuffer(val, np.uint8), nv
+                    )
+            i = j
+            continue
         native.decompress_batch_into(
             codec,
             [r[2] for r in raw_jobs[i:j]],
@@ -295,13 +333,24 @@ def _read_raw_binary_column(raw_jobs, meta, field, odtype, validities, nullable)
     out_offs = np.frombuffer(out_offs_buf, odtype)
     out_offs[0] = 0
     row = 0
-    opos = 0
     for k in range(n_pages):
         nv = int(counts[k])
-        page_offs = offs_typed[opos + 1 : opos + nv + 1]
-        np.add(page_offs, odtype.type(val_offs[k]), out=out_offs[row + 1 : row + nv + 1])
+        if raw_jobs[k][1] < 0:  # OneValue: constant stride
+            ln = len(raw_jobs[k][2])
+            np.add(
+                np.arange(1, nv + 1, dtype=odtype) * odtype.type(ln),
+                odtype.type(val_offs[k]),
+                out=out_offs[row + 1 : row + nv + 1],
+            )
+        else:
+            opos = int(ooffs[k]) // odtype.itemsize
+            page_offs = offs_typed[opos + 1 : opos + nv + 1]
+            np.add(
+                page_offs,
+                odtype.type(val_offs[k]),
+                out=out_offs[row + 1 : row + nv + 1],
+            )
         row += nv
-        opos += nv + 1
     null_bitmap = None
     if nullable and any(v is not None for v in validities):
         vbits = np.concatenate(

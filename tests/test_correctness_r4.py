@@ -230,3 +230,70 @@ def test_raw_string_column_fast_path(tmp_path):
     assert back.column("sn").to_pylist() == [
         None if nu else v for v, nu in zip(vals, nulls)
     ]
+
+
+def test_onevalue_string_pages_fast_path(tmp_path):
+    """String columns whose pages mix ONE_VALUE with raw or DICT stay on
+    the binary fast path (SF10: a constant-ish column cost 3 s via the
+    general reader)."""
+    import pyarrow as pa
+
+    from strawboat_tpu import native
+    from strawboat_tpu.api import read_table, write_file
+    from strawboat_tpu.codecs import WriteOptions
+    from strawboat_tpu.constants import Compression
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(7)
+    page = 256
+    # col A: OV pages + raw pages
+    a_parts = [
+        np.repeat("CONSTVAL", page),
+        np.array([f"u{rng.integers(0, 1 << 50):x}" for _ in range(page)]),
+        np.repeat("OTHERCONST", page),
+    ]
+    a = np.concatenate(a_parts)
+    # col B: OV pages + dict pages
+    b_parts = [
+        np.repeat("zzz", page),
+        np.array(["aa", "bb", "cc"])[rng.integers(0, 3, page)],
+        np.repeat("yyy", page),
+    ]
+    b = np.concatenate(b_parts)
+    # col C: all OV
+    c = np.repeat("ONLYONE", page * 3)
+    t = pa.table(
+        {"a": pa.array(a), "b": pa.array(b), "c": pa.array(c)},
+        schema=pa.schema(
+            [pa.field(n, pa.string(), nullable=False) for n in "abc"]
+        ),
+    )
+    p = str(tmp_path / "ovstr.str")
+    write_file(
+        p,
+        t,
+        options=WriteOptions(
+            default_compression=Compression.LZ4,
+            default_compress_ratio=1.0,
+            max_page_size=page,
+        ),
+    )
+    from strawboat_tpu.api import split_metas_by_field
+    from strawboat_tpu.read.fast import read_binary_column_fast
+    from strawboat_tpu.read.reader import infer_schema, read_meta
+
+    with open(p, "rb") as f:
+        schema = infer_schema(f)
+        metas = read_meta(f)
+    fb = np.memmap(p, dtype=np.uint8, mode="r")
+    per_field = split_metas_by_field(schema, metas)
+    for i, (name, src) in enumerate([("a", a), ("b", b), ("c", c)]):
+        arr = read_binary_column_fast(fb, per_field[i][0], schema.field(name))
+        assert arr is not None, f"column {name} fell off the fast path"
+        assert arr.to_pylist() == src.tolist(), name
+    back = read_table(p)
+    for name, src in [("a", a), ("b", b), ("c", c)]:
+        assert back.column(name).to_pylist() == src.tolist(), name
