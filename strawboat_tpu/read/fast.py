@@ -137,6 +137,7 @@ def read_binary_column_fast(
     nullable = bool(field.nullable)
     jobs = []  # (num_values, buf, index_body, pa dict array)
     raw_jobs = []  # (num_values, codec, offs_slice, offs_usize, vals_slice, vals_usize)
+    n_freq = 0
     validities = []
     odtype = np.dtype(
         np.int64 if pa.types.is_large_string(t) or pa.types.is_large_binary(t)
@@ -186,6 +187,43 @@ def read_binary_column_fast(
             raw_jobs.append((page.num_values, -1, val, 0, None, 0))
             pos = page_end
             continue
+        if codec == Compression.FREQ:
+            # [u64 top_len][top][u32 bm][roaring][[u64 len][bytes] per exc]
+            # joins the dict family: dictionary = [top, exc...], codes = 0
+            # except exception positions (binary/freq.rs:44-145)
+            from ..util import roaring as _roaring
+
+            fp = body
+            top_len = int(np.frombuffer(buf, "<u8", 1, fp)[0])
+            fp += 8
+            top = bytes(buf[fp : fp + top_len])
+            fp += top_len
+            bm_size = int(np.frombuffer(buf, "<u4", 1, fp)[0])
+            fp += 4
+            positions = _roaring.deserialize(bytes(buf[fp : fp + bm_size]))
+            fp += bm_size
+            sets = [top]
+            for _j in range(len(positions)):
+                eln = int(np.frombuffer(buf, "<u8", 1, fp)[0])
+                fp += 8
+                sets.append(bytes(buf[fp : fp + eln]))
+                fp += eln
+            codes = np.zeros(page.num_values, dtype=np.uint32)
+            codes[np.asarray(positions, dtype=np.int64)] = np.arange(
+                1, len(positions) + 1, dtype=np.uint32
+            )
+            jobs.append(
+                (
+                    page.num_values,
+                    None,
+                    None,
+                    pa.array(sets, pa.binary()),
+                    (False, codes),
+                )
+            )
+            n_freq += 1
+            pos = page_end
+            continue
         if codec != Compression.DICT:
             return None
         icodec, icsize, _ius, ibody = read_header(buf, body)
@@ -216,7 +254,7 @@ def read_binary_column_fast(
             )
         )
         pos = page_end
-    n_dict = sum(1 for j in jobs if j[1] is not None)
+    n_dict = sum(1 for j in jobs if j[1] is not None) + n_freq
     n_raw = sum(1 for j in raw_jobs if j[1] >= 0)
     if n_dict and n_raw:
         return None  # mixed dict/raw string column: general reader

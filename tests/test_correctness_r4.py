@@ -297,3 +297,68 @@ def test_onevalue_string_pages_fast_path(tmp_path):
     back = read_table(p)
     for name, src in [("a", a), ("b", b), ("c", c)]:
         assert back.column(name).to_pylist() == src.tolist(), name
+
+
+def test_freq_string_pages_fast_path(tmp_path):
+    """FREQ string pages (90%-dominant value + roaring exceptions) join the
+    dict-family fast path — the l_linestatus SF10 shape (OV+FREQ+DICT mix)."""
+    import pyarrow as pa
+
+    from strawboat_tpu import native
+    from strawboat_tpu.api import read_table, write_file
+    from strawboat_tpu.codecs import WriteOptions
+    from strawboat_tpu.constants import Compression
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(17)
+    page = 256
+    parts = []
+    # FREQ page: 95% "DOM", rare exceptions
+    fv = np.where(rng.random(page) < 0.95, "DOM", "rareX").astype(object)
+    parts.append(fv)
+    # OV page
+    parts.append(np.repeat("CONST", page).astype(object))
+    # DICT page
+    parts.append(
+        np.array(["aa", "bb", "cc"], dtype=object)[rng.integers(0, 3, page)]
+    )
+    v = np.concatenate(parts)
+    t = pa.table(
+        {"s": pa.array(list(v), pa.string())},
+        schema=pa.schema([pa.field("s", pa.string(), nullable=False)]),
+    )
+    p = str(tmp_path / "freqstr.str")
+    write_file(
+        p,
+        t,
+        options=WriteOptions(
+            default_compression=Compression.LZ4,
+            default_compress_ratio=1.0,
+            max_page_size=page,
+        ),
+    )
+    from strawboat_tpu.api import split_metas_by_field
+    from strawboat_tpu.read.fast import read_binary_column_fast
+    from strawboat_tpu.read.reader import infer_schema, read_meta
+    from strawboat_tpu.codecs import read_header
+    from strawboat_tpu.constants import Compression as C
+
+    with open(p, "rb") as f:
+        schema = infer_schema(f)
+        metas = read_meta(f)
+    fb = np.memmap(p, dtype=np.uint8, mode="r")
+    meta = split_metas_by_field(schema, metas)[0][0]
+    codecs = set()
+    pos = meta.offset
+    for pg in meta.pages:
+        c, _cs, _us, _b = read_header(fb[pos : pos + pg.length], 0)
+        codecs.add(c.name)
+        pos += pg.length
+    assert "FREQ" in codecs, f"shape didn't produce a FREQ page: {codecs}"
+    arr = read_binary_column_fast(fb, meta, schema.field("s"))
+    assert arr is not None, "FREQ string column fell off the fast path"
+    assert arr.to_pylist() == list(v)
+    assert read_table(p).column("s").to_pylist() == list(v)
