@@ -754,7 +754,18 @@ def _encode_float(name, vals: np.ndarray, tile: int, arrow_type, rows):
     else:
         tz, off, bits = 0, 0, 1
         us = u
-    d = _try_dict(vals)
+    # the dict path is value-space: NaN breaks it twice (np.unique collapses
+    # distinct NaN payloads; code-space predicates put NaN ABOVE every bound,
+    # so `v >= lo` would match) and mixed ±0.0 loses the sign bit.  The plane
+    # path is bitcast-exact for all of them — fall through to it.
+    has_nan = bool(np.isnan(vals).any()) if len(vals) else False
+    zeros = vals == 0
+    mixed_zero = bool(
+        zeros.any()
+        and np.signbit(vals[zeros]).any()
+        and not np.signbit(vals[zeros]).all()
+    )
+    d = None if has_nan or mixed_zero else _try_dict(vals)
     if d is not None:
         uniq, codes = d
         code_bits = _bits_of(max(len(uniq) - 1, 1))
@@ -796,8 +807,13 @@ def _encode_string(name, arr: pa.Array, tile: int, arrow_type, rows):
     order = pc.sort_indices(d).to_numpy(zero_copy_only=False)
     rank = np.empty(max(len(d), 1), dtype=np.uint32)
     rank[order] = np.arange(len(order), dtype=np.uint32)
-    codes_raw = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    codes = rank[np.clip(codes_raw, 0, max(len(d) - 1, 0))]
+    indices = denc.indices
+    if indices.null_count:
+        # null indices must not round-trip through float NaN (undefined
+        # int cast); pin them to code 0 — the validity plane masks them
+        indices = indices.fill_null(0)
+    codes_raw = indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = rank[codes_raw] if len(d) else np.zeros(rows, dtype=np.uint32)
     sorted_pa = d.take(pa.array(order)) if len(d) else d
     code_bits = _bits_of(max(len(d) - 1, 1))
     planes, shifts = _split_planes(codes.astype(np.uint64), code_bits, tile)
@@ -826,11 +842,21 @@ def _encode_resident_column(
         planes = ((_pack_plane(v01, 1, tile), 1),)
         col = ResidentColumn(field.name, planes, (0,), rows, "bool", arrow_type=t)
     elif pa.types.is_floating(t):
-        vals = arr.to_numpy(zero_copy_only=False)
-        if arr.null_count:
-            vals = np.nan_to_num(vals, nan=0.0).astype(vals.dtype)
         if t.bit_width == 16:
             raise NotYetImplementedError("resident load of float16")
+        # read raw bit patterns from the VALUES buffer: genuine NaN / ±inf /
+        # -0.0 at non-null positions survive bit-exactly (`to_numpy` turns
+        # nulls into NaN, making them indistinguishable from real NaNs —
+        # the r4 silent-zeroing bug).  Null slots hold arbitrary bits, so
+        # neutralize them with a valid value to keep plane stats tight.
+        npdt = np.dtype(np.float32 if t.bit_width == 32 else np.float64)
+        vals = np.frombuffer(
+            arr.buffers()[1], dtype=npdt, count=len(arr) + arr.offset
+        )[arr.offset :].copy()
+        if validity is not None:
+            valid_idx = np.flatnonzero(validity)
+            fill = vals[valid_idx[0]] if valid_idx.size else npdt.type(0)
+            vals[~validity] = fill
         col = _encode_float(field.name, np.ascontiguousarray(vals), tile, t, rows)
     elif (
         pa.types.is_integer(t)

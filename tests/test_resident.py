@@ -864,3 +864,69 @@ def test_resident_join_both_sides(tmp_path, interp_pallas):
         .run()
     )
     assert int(res["s"]) == int(bval[key].sum())
+
+
+def test_resident_nullable_float_preserves_nan_inf(tmp_path, interp_pallas):
+    """Genuine NaN / ±inf / -0.0 at NON-null positions of a nullable float
+    column survive resident load bit-exactly.
+
+    Failing before r5: the loader did ``to_numpy`` + ``nan_to_num`` whenever
+    null_count > 0, so a real NaN value in a nullable column silently became
+    0.0 with validity=true."""
+    from strawboat_tpu.exec.resident import load_resident
+
+    specials = [1.5, None, float("nan"), float("inf"), float("-inf"), -0.0,
+                0.0, 2.25, None, -1e308]
+    vals64 = pa.array(specials * 40, pa.float64())
+    with np.errstate(over="ignore"):
+        vals32 = pa.array(
+            [None if v is None else np.float32(v) for v in specials] * 40,
+            pa.float32(),
+        )
+    t = pa.table(
+        {"f64": vals64, "f32": vals32},
+        schema=pa.schema(
+            [
+                pa.field("f64", pa.float64(), nullable=True),
+                pa.field("f32", pa.float32(), nullable=True),
+            ]
+        ),
+    )
+    p = str(tmp_path / "nanfloat.str")
+    write_file(p, t, options=WriteOptions(max_page_size=128))
+    rt = load_resident(p, tile=512)
+    back = rt.to_arrow()
+    for name, npdt, udt in (("f64", np.float64, np.uint64),
+                            ("f32", np.float32, np.uint32)):
+        exp = t.column(name).combine_chunks()
+        got = back.column(name).combine_chunks()
+        ok = ~np.asarray(exp.is_null())
+        assert np.array_equal(ok, ~np.asarray(got.is_null()))
+        eb = np.frombuffer(exp.buffers()[1], dtype=npdt, count=len(exp))
+        gb = np.asarray(got.fill_null(0.0), dtype=npdt)
+        # bit-exact at every valid position (NaN payloads, inf, -0.0 sign)
+        assert np.array_equal(
+            eb.view(udt)[ok], gb.view(udt)[ok]
+        ), f"{name}: valid float bits changed"
+
+
+def test_resident_nullable_string_no_cast_warning(tmp_path, interp_pallas):
+    """Null string indices load through an explicit fill, not a NaN→int64
+    cast (r4 emitted 'invalid value encountered in cast' on every nullable
+    string load)."""
+    import warnings
+
+    from strawboat_tpu.exec.resident import load_resident
+
+    arr = pa.array((["aa", None, "bb", "cc", None] * 80), pa.string())
+    t = pa.table(
+        {"s": arr},
+        schema=pa.schema([pa.field("s", pa.string(), nullable=True)]),
+    )
+    p = str(tmp_path / "nullstr.str")
+    write_file(p, t, options=WriteOptions(max_page_size=128))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        rt = load_resident(p, tile=512)
+    back = rt.to_arrow()
+    assert back.column("s").combine_chunks().equals(arr)
