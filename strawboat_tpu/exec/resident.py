@@ -642,8 +642,12 @@ def _split_planes(u: np.ndarray, total_bits: int, tile: int):
 def _try_dict(vals: np.ndarray):
     """Sorted-unique dictionary + codes, or None when cardinality is high.
 
-    A cheap strided sample gates the full ``np.unique`` so high-cardinality
-    columns don't pay a wasted full sort just to be told 'no'.
+    A cheap strided sample gates the full pass so high-cardinality columns
+    don't pay a wasted full scan just to be told 'no'.  The pass itself is
+    the C first-occurrence intern (one O(n) open-addressing sweep over the
+    bit patterns) + an O(u log u) sort of the small unique set — replacing
+    ``np.unique(return_inverse=True)``'s full O(n log n) sort, which
+    dominated SF10 resident loads.
     """
     n = len(vals)
     if n == 0:
@@ -652,6 +656,24 @@ def _try_dict(vals: np.ndarray):
         sample = vals[:: max(1, n // 65536)]
         if np.unique(sample).size > (1 << 14):
             return None
+    if vals.dtype.itemsize in (4, 8) and n >= 4096:
+        from .. import native
+
+        if native.available():
+            kind = np.uint32 if vals.dtype.itemsize == 4 else np.uint64
+            r = native.factorize(
+                np.ascontiguousarray(vals).view(kind), max_uniq=_MAX_DICT
+            )
+            if r is None:
+                return None  # unique count exceeded _MAX_DICT mid-pass
+            codes_f, uniq_bits = r
+            uniq = uniq_bits.view(vals.dtype)
+            order = np.argsort(uniq, kind="stable")
+            rank = np.empty(len(order), dtype=np.uint32)
+            rank[order.astype(np.intp)] = np.arange(
+                len(order), dtype=np.uint32
+            )
+            return uniq[order], rank[codes_f]
     uniq, inv = np.unique(vals, return_inverse=True)
     if uniq.size > _MAX_DICT:
         return None
@@ -900,16 +922,320 @@ def _encode_resident_column(
     return col
 
 
+# ---------------------------------------------------------------------------
+# Device-direct encode: DeviceTable (scan/shuffle/join result in HBM) →
+# planes, without a to_arrow host roundtrip.  The pack permutation is
+# algebraic (tiled slot s == natural row s), so packing is pure
+# shifts/ors over a reshape — no gather, no scatter, no host relay.
+# ---------------------------------------------------------------------------
+
+_DEV_PACK_CACHE: Dict[int, Any] = {}
+
+
+def _slots_for(n: int, tile: int) -> int:
+    """Tiled slot count for n rows — matches ``_pack_plane``'s padding."""
+    lanes = (-(-max(n, 1) // 128)) * 4
+    lanes_final = -(-lanes // tile) * tile
+    return lanes_final * 32
+
+
+def _pack_plane_device(vals, bits: int, tile: int):
+    """(n,) u32 DEVICE values in natural row order (< 2^bits) →
+    (n_tiles, bits, tile) packed words — the bit-level inverse of
+    ``_unpack_plane_tiled``.  Pure VPU shifts/ors; runs at streaming rate.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    b = max(bits, 1)
+    n = int(vals.shape[0])
+    slots = _slots_for(n, tile)
+    if n < slots:
+        vals = jnp.concatenate(
+            [vals, jnp.zeros(slots - n, dtype=jnp.uint32)]
+        )
+    fn = _DEV_PACK_CACHE.get(b)
+    if fn is None:
+
+        def impl(v, _b=b):
+            s_ = v.shape[0]
+            v3 = v.reshape(s_ // (32 * tile), 32, tile)
+            if 32 % _b == 0:
+                P = 32 // _b
+                nt = v3.shape[0]
+                # value t = j*P + p lives in word j at bit offset p*b
+                v4 = v3.reshape(nt, _b, P, tile)
+                w = v4[:, :, 0, :]
+                for p in range(1, P):
+                    w = w | (v4[:, :, p, :] << jnp.uint32(p * _b))
+                return w
+            # general widths: value t's bits occupy [t*b, (t+1)*b) of the
+            # lane's little-endian word stream (may straddle two words)
+            words = [None] * _b
+            for t in range(32):
+                s0 = t * _b
+                w0, sh = s0 // 32, s0 % 32
+                v_t = v3[:, t, :]
+                lo = (v_t << jnp.uint32(sh)) if sh else v_t
+                words[w0] = lo if words[w0] is None else (words[w0] | lo)
+                if sh + _b > 32:
+                    hi = v_t >> jnp.uint32(32 - sh)
+                    words[w0 + 1] = (
+                        hi if words[w0 + 1] is None else (words[w0 + 1] | hi)
+                    )
+            return jnp.stack(words, axis=1)
+
+        fn = jax.jit(impl)
+        _DEV_PACK_CACHE[b] = fn
+    return fn(vals)
+
+
+def _split_planes_device(lo, hi, total_bits: int, tile: int):
+    """Device u32 lo/hi words → 1–2 packed planes (LSB first)."""
+    if total_bits <= 32:
+        return (
+            (_pack_plane_device(lo, total_bits, tile), max(total_bits, 1)),
+        ), (0,)
+    return (
+        (_pack_plane_device(lo, 32, tile), 32),
+        (_pack_plane_device(hi, total_bits - 32, tile), total_bits - 32),
+    ), (0, 32)
+
+
+def _dev_fn(key: str, builder):
+    """Module-cached jitted helper — compiled once per (key, shape) rather
+    than once per encode call; variable scalars (offsets, bounds) ride as
+    TRACED arguments so changing them never recompiles."""
+    fn = _DEV_PACK_CACHE.get(key)
+    if fn is None:
+        import jax
+
+        fn = jax.jit(builder)
+        _DEV_PACK_CACHE[key] = fn
+    return fn
+
+
+def _encode_int_device(c, tile: int, rows: int) -> ResidentColumn:
+    import jax
+    import jax.numpy as jnp
+
+    v = c.values[:rows].astype(jnp.int64)
+    validity = None if c.validity is None else c.validity[:rows]
+
+    def stats_m(v, m):
+        big = jnp.iinfo(jnp.int64).max
+        return (
+            jnp.min(jnp.where(m, v, big)),
+            jnp.max(jnp.where(m, v, -big - 1)),
+        )
+
+    if rows:
+        if validity is None:
+            fn = _dev_fn("int_stats", lambda v: (jnp.min(v), jnp.max(v)))
+            vmin, vmax = (int(x) for x in jax.device_get(fn(v)))
+        else:
+            fn = _dev_fn("int_stats_m", stats_m)
+            vmin, vmax = (int(x) for x in jax.device_get(fn(v, validity)))
+            if vmin > vmax:  # all null
+                vmin = vmax = 0
+    else:
+        vmin = vmax = 0
+    span_bits = _bits_of(vmax - vmin)
+    offset = 0 if vmin >= 0 and vmax < (1 << 31) else vmin
+    plain_bits = span_bits if offset else _bits_of(vmax)
+    t = c.dtype
+    wide = t is not None and (
+        (pa.types.is_integer(t) and t.bit_width == 64)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date64(t)
+        or pa.types.is_time64(t)
+        or pa.types.is_decimal(t)
+    )
+
+    def words(v, off):
+        u = (v - off).astype(jnp.uint64)
+        return (
+            (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+            (u >> jnp.uint64(32)).astype(jnp.uint32),
+        )
+
+    if validity is None:
+        lo, hi = _dev_fn("int_words", words)(v, jnp.int64(offset))
+    else:
+        lo, hi = _dev_fn(
+            "int_words_m",
+            lambda v, m, off, fill: words(jnp.where(m, v, fill), off),
+        )(v, validity, jnp.int64(offset), jnp.int64(vmin))
+    planes, shifts = _split_planes_device(lo, hi, plain_bits, tile)
+    return ResidentColumn(
+        c.name, planes, shifts, rows, "int",
+        wide=wide,
+        offset=int(np.int64(offset).astype(np.uint64)),
+        arrow_type=t,
+    )
+
+
+def _encode_f32_device(c, tile: int, rows: int) -> ResidentColumn:
+    import jax
+    import jax.numpy as jnp
+
+    v = c.values[:rows]
+    validity = None if c.validity is None else c.validity[:rows]
+
+    def bits(v):
+        return jax.lax.bitcast_convert_type(
+            v.astype(jnp.float32), jnp.uint32
+        )
+
+    if validity is None:
+        u = _dev_fn("f32_bits", bits)(v)
+    else:
+        u = _dev_fn(
+            "f32_bits_m",
+            lambda v, m: jnp.where(m, bits(v), jnp.uint32(0)),
+        )(v, validity)
+    planes, shifts = _split_planes_device(u, u, 32, tile)
+    return ResidentColumn(
+        c.name, planes, shifts, rows, "f32", arrow_type=c.dtype
+    )
+
+
+def _encode_dictcol_device(c, tile: int, rows: int) -> ResidentColumn:
+    """String/binary DeviceColumn (codes + host pa dictionary) → packed
+    codes over the GLOBAL SORTED dictionary (code remap rides the device:
+    MXU one-hot for small dictionaries, one XLA gather otherwise — a
+    one-time load cost, never a per-query one)."""
+    import jax
+    import jax.numpy as jnp
+    import pyarrow.compute as pc
+
+    from ..kernels.decode import dict_gather_device
+
+    d = c.dictionary
+    if len(d) > _MAX_DICT:
+        raise NotYetImplementedError(
+            f"resident encode: column {c.name!r} dictionary too large"
+        )
+    order = pc.sort_indices(d).to_numpy(zero_copy_only=False)
+    rank = np.empty(max(len(d), 1), dtype=np.int32)
+    rank[order.astype(np.intp)] = np.arange(len(order), dtype=np.int32)
+    sorted_pa = d.take(pa.array(order)) if len(d) else d
+    codes = c.values[:rows].astype(jnp.int32)
+    validity = None if c.validity is None else c.validity[:rows]
+
+    def remap(codes, rank_dev, cmax):
+        cc = jnp.clip(codes, 0, cmax)
+        return dict_gather_device(cc, rank_dev).astype(jnp.uint32)
+
+    cmax = jnp.int32(max(len(d) - 1, 0))
+    if validity is None:
+        new_codes = _dev_fn("dict_remap", remap)(codes, jnp.asarray(rank), cmax)
+    else:
+        new_codes = _dev_fn(
+            "dict_remap_m",
+            lambda codes, m, rank_dev, cmax: remap(
+                jnp.where(m, codes, 0), rank_dev, cmax
+            ),
+        )(codes, validity, jnp.asarray(rank), cmax)
+    code_bits = _bits_of(max(len(d) - 1, 1))
+    planes, shifts = _split_planes_device(new_codes, new_codes, code_bits, tile)
+    return ResidentColumn(
+        c.name, planes, shifts, rows, "str",
+        dictionary_host=np.asarray(sorted_pa.to_pandas(), dtype=object),
+        dictionary_pa=sorted_pa,
+        arrow_type=c.dtype,
+    )
+
+
+def _encode_device_column(c, tile: int, rows: int) -> ResidentColumn:
+    import jax.numpy as jnp
+
+    if getattr(c, "offsets", None) is not None:
+        raise NotYetImplementedError(
+            f"device-direct resident encode of nested column {c.name!r}"
+        )
+    t = c.dtype
+    if c.dictionary is not None:
+        col = _encode_dictcol_device(c, tile, rows)
+    elif t is not None and pa.types.is_boolean(t):
+        v = c.values[:rows]
+        if c.validity is not None:
+            v = v & c.validity[:rows]
+        col = _encode_resident_bool_device(c.name, v, tile, t, rows)
+    elif c.values.dtype == jnp.float64:
+        # TPU stores device f64 as a float32 pair (~49-bit mantissa); the
+        # exact bytes live host-side in ``host_exact``.  Encode those when
+        # present (bit-exact); otherwise the device values ARE the data.
+        if c.host_exact is not None:
+            vals = np.ascontiguousarray(c.host_exact[:rows])
+            col = _encode_float(c.name, vals, tile, t, rows)
+        else:
+            vals = np.ascontiguousarray(
+                np.asarray(c.values[:rows], dtype=np.float64)
+            )
+            if c.validity is not None:
+                ok = np.asarray(c.validity[:rows])
+                if not ok.all():
+                    vi = np.flatnonzero(ok)
+                    vals[~ok] = vals[vi[0]] if vi.size else 0.0
+            col = _encode_float(c.name, vals, tile, t, rows)
+    elif c.values.dtype == jnp.float32:
+        col = _encode_f32_device(c, tile, rows)
+    elif jnp.issubdtype(c.values.dtype, jnp.integer) or (
+        t is not None
+        and (
+            pa.types.is_integer(t)
+            or pa.types.is_date(t)
+            or pa.types.is_timestamp(t)
+            or pa.types.is_time(t)
+            or pa.types.is_decimal(t)
+        )
+    ):
+        col = _encode_int_device(c, tile, rows)
+    else:
+        raise NotYetImplementedError(
+            f"device-direct resident encode of column {c.name!r} "
+            f"dtype {c.values.dtype}/{t}"
+        )
+    if c.validity is not None:
+        v01 = c.validity[:rows].astype(jnp.uint32)
+        col.validity_plane = _pack_plane_device(v01, 1, tile)
+    return col
+
+
+def _encode_resident_bool_device(name, v, tile, t, rows) -> ResidentColumn:
+    import jax.numpy as jnp
+
+    planes = ((_pack_plane_device(v.astype(jnp.uint32), 1, tile), 1),)
+    return ResidentColumn(name, planes, (0,), rows, "bool", arrow_type=t)
+
+
+def _make_resident_device(dt, tile: int) -> ResidentTable:
+    out: Dict[str, ResidentColumn] = {}
+    rows = int(dt.num_rows)
+    for name, c in dt.columns.items():
+        out[name] = _encode_device_column(c, tile, rows)
+    if not out:
+        raise OutOfSpecError("no loadable columns")
+    return ResidentTable(out, rows, tile)
+
+
 def make_resident(table, tile: Optional[int] = None) -> ResidentTable:
     """Build a resident table directly from a ``pa.Table`` or DeviceTable
     (e.g. a scan/shuffle/join result) — the serving handoff without a file
-    roundtrip.  DeviceTables materialize through ``to_arrow`` (exact, incl.
-    ``host_exact`` f64 bytes) before plane encoding."""
+    roundtrip.  DeviceTables encode DEVICE-DIRECT: planes are packed in HBM
+    by the bit-level inverse of the unpack kernel (no ``to_arrow``, no
+    host relay) — except exact-f64 columns, whose bit-exact bytes live
+    host-side by design.  Falls back to the host path for layouts the
+    device encoder does not cover (nested)."""
     from ..kernels.bitunpack_pallas import TILE3D
 
     tile = tile or TILE3D
     if not isinstance(table, pa.Table):
-        table = table.to_arrow()
+        try:
+            return _make_resident_device(table, tile)
+        except NotYetImplementedError:
+            table = table.to_arrow()
     table = table.combine_chunks()
     fields = list(table.schema)
     if len(fields) > 1:

@@ -930,3 +930,80 @@ def test_resident_nullable_string_no_cast_warning(tmp_path, interp_pallas):
         rt = load_resident(p, tile=512)
     back = rt.to_arrow()
     assert back.column("s").combine_chunks().equals(arr)
+
+
+def test_pack_plane_device_matches_host(interp_pallas):
+    """The device packer is the bit-level inverse of the unpack kernel and
+    must produce EXACTLY the host pack's words for every width class."""
+    import jax.numpy as jnp
+
+    from strawboat_tpu.exec.resident import _pack_plane, _pack_plane_device
+
+    rng = np.random.default_rng(7)
+    for bits in (1, 3, 5, 7, 8, 12, 16, 17, 20, 24, 31, 32):
+        n = int(rng.integers(100, 5000))
+        vals = rng.integers(0, 1 << bits, n, dtype=np.uint64).astype(np.uint32)
+        host = np.asarray(_pack_plane(vals, bits, 512))
+        dev = np.asarray(_pack_plane_device(jnp.asarray(vals), bits, 512))
+        assert host.shape == dev.shape, bits
+        assert np.array_equal(host, dev), f"bits={bits}"
+
+
+def test_make_resident_device_direct_no_host_roundtrip(tmp_path, interp_pallas):
+    """make_resident(DeviceTable) builds planes ON DEVICE: no ``to_arrow``
+    materialization (the r4 path paid device→host→device through the
+    relay), and the result round-trips exactly."""
+    import pyarrow.compute as pc
+
+    from strawboat_tpu.exec.resident import make_resident
+    from strawboat_tpu.exec.scan import DeviceTable, scan_file
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    t = pa.table(
+        {
+            "i32": pa.array(rng.integers(0, 1 << 18, n).astype(np.int32)),
+            "i64neg": pa.array(rng.integers(-(10**9), 10**9, n)),
+            "f32": pa.array(rng.standard_normal(n).astype(np.float32)),
+            "s": pa.array(
+                np.array(["aa", "bb", "cc", "dd"])[rng.integers(0, 4, n)]
+            ),
+            "b": pa.array(rng.random(n) < 0.5),
+            "f64": pa.array(np.round(rng.uniform(-100, 100, n), 3)),
+            "ni": pa.array(
+                [int(v) if m else None
+                 for v, m in zip(rng.integers(0, 1000, n), rng.random(n) < 0.8)],
+                pa.int64(),
+            ),
+        },
+        schema=pa.schema(
+            [
+                pa.field("i32", pa.int32(), nullable=False),
+                pa.field("i64neg", pa.int64(), nullable=False),
+                pa.field("f32", pa.float32(), nullable=False),
+                pa.field("s", pa.string(), nullable=False),
+                pa.field("b", pa.bool_(), nullable=False),
+                pa.field("f64", pa.float64(), nullable=False),
+                pa.field("ni", pa.int64(), nullable=True),
+            ]
+        ),
+    )
+    p = str(tmp_path / "devdirect.str")
+    write_file(p, t, options=WriteOptions(max_page_size=512))
+    dt = scan_file(p)
+    with mock.patch.object(
+        DeviceTable, "to_arrow",
+        side_effect=AssertionError("device-direct encode must not to_arrow"),
+    ):
+        rt = make_resident(dt, tile=512)
+    back = rt.to_arrow()
+    for f in t.schema:
+        exp = t.column(f.name).combine_chunks()
+        got = back.column(f.name).combine_chunks()
+        if got.type != exp.type:
+            got = got.cast(exp.type)
+        assert got.equals(exp), f"column {f.name!r} device-direct mismatch"
+    # and the fused query paths run over it
+    s = int(rt.filter_sum({"i32": (1000, 200000)}, value="i32"))
+    v = np.asarray(t.column("i32"))
+    assert s == int(v[(v >= 1000) & (v < 200000)].astype(np.int64).sum())
