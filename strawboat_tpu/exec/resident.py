@@ -96,6 +96,11 @@ class ResidentColumn:
     dictionary_pa: Any = None  # pa.Array sorted (strings: DeviceColumn dict)
     validity_plane: Any = None  # wt3 of a 1-bit plane, or None (all valid)
     arrow_type: Any = None
+    # list kind only: the planes above hold per-row LENGTHS (composed
+    # row→leaf counts — small ints, they pack tightly); the flattened leaf
+    # values are a full ResidentColumn over their OWN tiled grid.  Depth
+    # recurses (list<list<…>> children are themselves 'list' columns).
+    child: Optional["ResidentColumn"] = None
 
     @property
     def wt3(self):  # diagnostic back-compat (plane 0 words)
@@ -134,7 +139,7 @@ class ResidentColumn:
             and self.planes[0][1] <= 31
             and not self.wide
         ):
-            return jnp.int32
+            return jnp.int32  # also covers 'list' (length planes)
         return jnp.int64
 
 
@@ -255,7 +260,7 @@ class ResidentTable:
             and c.offset == 0
             and c.bit_shift == 0
             and c.planes[0][1] <= 31
-            and c.kind == "int"
+            and c.kind in ("int", "list")
         ):
             v = vals[0].astype(jnp.int32)  # values < 2^31
             return v.astype(jnp.int64) if c.wide else v
@@ -270,14 +275,20 @@ class ResidentTable:
             return jax.lax.bitcast_convert_type(u, jnp.float64)
         return jax.lax.bitcast_convert_type(u, jnp.int64)
 
-    def _decode_in_trace(self, name, planes_wt3, dictionary, with_dict=True):
-        """decode_tiled body over traced inputs (used inside fused jits)."""
-        c = self.columns[name]
+    def _decode_c_in_trace(self, c, planes_wt3, dictionary, with_dict=True):
+        """decode_tiled body over traced inputs for an explicit column
+        (works for list CHILD columns, which live off the table dict)."""
         vals = [
             _unpack_plane_tiled(wt3, bits)
             for wt3, (_w, bits) in zip(planes_wt3, c.planes)
         ]
         return self._combine(c, vals, with_dict, dictionary)
+
+    def _decode_in_trace(self, name, planes_wt3, dictionary, with_dict=True):
+        """decode_tiled body over traced inputs (used inside fused jits)."""
+        return self._decode_c_in_trace(
+            self.columns[name], planes_wt3, dictionary, with_dict
+        )
 
     def _col_args(self, name: str):
         c = self.columns[name]
@@ -330,6 +341,12 @@ class ResidentTable:
         cols = {}
         for n in names:
             c = self.columns[n]
+            if c.kind == "list":
+                raise NotYetImplementedError(
+                    f"list column {n!r} in as_device_table — lists serve "
+                    f"via list_sum / to_arrow (their leaf grid differs "
+                    f"from the row grid)"
+                )
             vals = self.decode_tiled(n)
             cols[n] = DeviceColumn(
                 n,
@@ -340,50 +357,87 @@ class ResidentTable:
             )
         return DeviceTable(cols, self.tiled_slots), self.mask_tiled()
 
+    def _decode_col(self, c: ResidentColumn, with_dict: bool = True):
+        """Natural-order decode of an explicit column (incl. list children:
+        their tiled grid is their own, natural leaf order)."""
+        vals = [_unpack_plane_tiled(w, b) for w, b in c.planes]
+        return self._combine(c, vals, with_dict, c.dictionary)[: c.length]
+
+    def _col_validity(self, c: ResidentColumn):
+        if c.validity_plane is None:
+            return None
+        return (_unpack_plane_tiled(c.validity_plane, 1) != 0)[: c.length]
+
+    def _materialize_pa(self, c: ResidentColumn) -> pa.Array:
+        """One column (or list child) → natural-order pa.Array."""
+        if c.kind == "list":
+            lengths = np.asarray(self._decode_col(c), dtype=np.int64)
+            validity = self._col_validity(c)
+            mask = None if validity is None else ~np.asarray(validity)
+            offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offsets[1:])
+            child_arr = self._materialize_pa(c.child)
+            large = c.arrow_type is not None and pa.types.is_large_list(
+                c.arrow_type
+            )
+            cls = pa.LargeListArray if large else pa.ListArray
+            odt = np.int64 if large else np.int32
+            arr = cls.from_arrays(
+                pa.array(offsets.astype(odt)),
+                child_arr,
+                mask=None if mask is None else pa.array(mask),
+            )
+            if c.arrow_type is not None and arr.type != c.arrow_type:
+                arr = arr.cast(c.arrow_type)
+            return arr
+        vals = np.asarray(self._decode_col(c))
+        validity = self._col_validity(c)
+        mask = None if validity is None else ~np.asarray(validity)
+        return self._flat_to_pa(c, vals, mask)
+
     def to_arrow(self, columns: Optional[Sequence[str]] = None) -> pa.Table:
         """Natural-order host materialization (round-trips the loaded data)."""
         names = list(columns) if columns is not None else list(self.columns)
         arrays = {}
         for n in names:
-            c = self.columns[n]
-            vals = np.asarray(self.decode_natural(n))
-            validity = self.validity_natural(n)
-            mask = None if validity is None else ~np.asarray(validity)
-            if c.kind == "str":
-                arr = c.dictionary_pa.take(
-                    pa.array(vals, mask=mask)
-                )
-                if arr.type != c.arrow_type:
-                    arr = arr.cast(c.arrow_type)
-            elif c.arrow_type is not None and pa.types.is_decimal(c.arrow_type):
-                # vals are UNSCALED ints — rebuild the 16-byte limb matrix
-                # (an int64→decimal cast would re-scale the value)
-                v = np.asarray(vals, dtype=np.int64)
-                limbs = np.empty((len(v), 2), dtype="<i8")
-                limbs[:, 0] = v
-                limbs[:, 1] = v >> 63
-                null_bm = None
-                if mask is not None:
-                    null_bm = pa.py_buffer(
-                        np.packbits(~mask, bitorder="little").tobytes()
-                    )
-                arr = pa.Array.from_buffers(
-                    c.arrow_type,
-                    len(v),
-                    [null_bm, pa.py_buffer(limbs.tobytes())],
-                )
-            else:
-                arr = pa.array(vals, mask=mask)
-                if c.arrow_type is not None and arr.type != c.arrow_type:
-                    try:
-                        arr = arr.cast(c.arrow_type)
-                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                        # date32 & friends only cast from their storage
-                        # width; round-trip through the storage int type
-                        storage = pa.int32() if c.arrow_type.bit_width == 32 else pa.int64()
-                        arr = arr.cast(storage).cast(c.arrow_type)
-            arrays[n] = arr
+            arrays[n] = self._materialize_pa(self.columns[n])
         return pa.table(arrays)
+
+    def _flat_to_pa(self, c: ResidentColumn, vals, mask) -> pa.Array:
+        if c.kind == "str":
+            arr = c.dictionary_pa.take(
+                pa.array(vals, mask=mask)
+            )
+            if arr.type != c.arrow_type:
+                arr = arr.cast(c.arrow_type)
+        elif c.arrow_type is not None and pa.types.is_decimal(c.arrow_type):
+            # vals are UNSCALED ints — rebuild the 16-byte limb matrix
+            # (an int64→decimal cast would re-scale the value)
+            v = np.asarray(vals, dtype=np.int64)
+            limbs = np.empty((len(v), 2), dtype="<i8")
+            limbs[:, 0] = v
+            limbs[:, 1] = v >> 63
+            null_bm = None
+            if mask is not None:
+                null_bm = pa.py_buffer(
+                    np.packbits(~mask, bitorder="little").tobytes()
+                )
+            arr = pa.Array.from_buffers(
+                c.arrow_type,
+                len(v),
+                [null_bm, pa.py_buffer(limbs.tobytes())],
+            )
+        else:
+            arr = pa.array(vals, mask=mask)
+            if c.arrow_type is not None and arr.type != c.arrow_type:
+                try:
+                    arr = arr.cast(c.arrow_type)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    # date32 & friends only cast from their storage
+                    # width; round-trip through the storage int type
+                    storage = pa.int32() if c.arrow_type.bit_width == 32 else pa.int64()
+                    arr = arr.cast(storage).cast(c.arrow_type)
+        return arr
 
     # -- bound translation ---------------------------------------------
 
@@ -511,6 +565,64 @@ class ResidentTable:
         )
         los, his = self._bound_scalars(predicates, pcols)
         return fn(colargs, vplanes, los, his)
+
+    def list_sum(self, name: str):
+        """Per-row sum over a ``list<numeric>`` column — ONE fused jit:
+        length-plane decode → device cumsum offsets → leaf-plane decode →
+        ``list_segment_sum``.  Null leaf elements contribute 0; null rows
+        sum to 0 (mask via ``validity_natural``).  The resident analogue
+        of the scan layer's DeviceListColumn + list_segment_sum path
+        (ref semantics: /root/reference/src/read/batch_read.rs:66-187)."""
+        import jax
+        import jax.numpy as jnp
+
+        from .aggregate import list_segment_sum
+
+        c = self.columns[name]
+        if c.kind != "list":
+            raise OutOfSpecError(f"{name!r} is not a list column")
+        child = c.child
+        if child.kind not in ("int", "f32", "f64"):
+            raise NotYetImplementedError(f"list_sum over list<{child.kind}>")
+        key = ("lsum", name)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            n_rows = self.num_rows
+            has_cv = child.validity_plane is not None
+
+            def impl(len_planes, child_planes, cv_plane, dictionary):
+                lengths = self._decode_c_in_trace(c, len_planes, None)[
+                    :n_rows
+                ].astype(jnp.int32)
+                offsets = jnp.concatenate(
+                    [jnp.zeros(1, jnp.int32), jnp.cumsum(lengths)]
+                )
+                vals = self._decode_c_in_trace(
+                    child, child_planes, dictionary
+                )[: child.length]
+                if not jnp.issubdtype(vals.dtype, jnp.floating):
+                    vals = vals.astype(jnp.int64)
+                if has_cv:
+                    cv = (_unpack_plane_tiled(cv_plane, 1) != 0)[
+                        : child.length
+                    ]
+                    vals = jnp.where(cv, vals, 0)
+                return list_segment_sum(vals, offsets, n_rows)
+
+            fn = jax.jit(impl)
+            self._jit_cache[key] = fn
+        sums = fn(
+            tuple(w for w, _b in c.planes),
+            tuple(w for w, _b in child.planes),
+            child.validity_plane,
+            child.dictionary,
+        )
+        v = self.validity_natural(name)
+        if v is not None:
+            import jax.numpy as jnp
+
+            sums = jnp.where(v, sums, 0)
+        return sums
 
     def group_sum(
         self,
@@ -872,9 +984,13 @@ def _encode_resident_column(
         # the r4 silent-zeroing bug).  Null slots hold arbitrary bits, so
         # neutralize them with a valid value to keep plane stats tight.
         npdt = np.dtype(np.float32 if t.bit_width == 32 else np.float64)
-        vals = np.frombuffer(
-            arr.buffers()[1], dtype=npdt, count=len(arr) + arr.offset
-        )[arr.offset :].copy()
+        buf = arr.buffers()[1]
+        if buf is None:  # all-null arrays may carry no values buffer
+            vals = np.zeros(len(arr), dtype=npdt)
+        else:
+            vals = np.frombuffer(
+                buf, dtype=npdt, count=len(arr) + arr.offset
+            )[arr.offset :].copy()
         if validity is not None:
             valid_idx = np.flatnonzero(validity)
             fill = vals[valid_idx[0]] if valid_idx.size else npdt.type(0)
@@ -913,6 +1029,29 @@ def _encode_resident_column(
                 f"int64 despite precision {t.precision}"
             )
         col = _encode_int(field.name, np.ascontiguousarray(lo), tile, t, rows)
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
+        import pyarrow.compute as pc
+
+        # lengths plane on the row grid (composed row→leaf counts; null
+        # rows canonicalize to length 0), flattened leaves as a child
+        # ResidentColumn over their own grid.  Depth recurses: a
+        # list<list<…>> child is itself a 'list' column.
+        # Ref semantics: /root/reference/src/read/batch_read.rs:66-187.
+        lengths = pc.list_value_length(arr)
+        if lengths.null_count:
+            lengths = lengths.fill_null(0)
+        ln = np.asarray(lengths).astype(np.int64)
+        child_arr = pc.list_flatten(arr)
+        child_field = pa.field(
+            f"{field.name}.item", t.value_type, nullable=True
+        )
+        child = _encode_resident_column(child_field, child_arr, tile)
+        bits = _bits_of(int(ln.max())) if len(ln) and ln.max() else 1
+        planes, shifts = _split_planes(ln.astype(np.uint64), bits, tile)
+        col = ResidentColumn(
+            field.name, planes, shifts, rows, "list",
+            arrow_type=t, child=child,
+        )
     else:
         raise NotYetImplementedError(
             f"resident load of column {field.name!r} type {t}"
@@ -1290,9 +1429,11 @@ def load_resident(
     path (every page codec the format produces — the chooser's full
     matrix, tail pages, mixed dict/plain columns) and re-encodes into
     packed planes; HBM cost is bits/32 of the decoded size per column plus
-    KB-scale dictionaries.  Unsupported TYPES (nested, wide decimal,
-    float16) raise — resident loading is an opt-in fast representation,
-    never silently wrong.
+    KB-scale dictionaries.  List columns (any depth, incl. list<utf8>)
+    load as a lengths plane + child planes and serve ``list_sum`` /
+    ``to_arrow``.  Unsupported TYPES (struct/map, wide decimal, float16)
+    raise — resident loading is an opt-in fast representation, never
+    silently wrong.
     """
     from ..api import read_table
 

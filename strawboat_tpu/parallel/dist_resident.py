@@ -80,6 +80,13 @@ def shard_resident(rt: ResidentTable, mesh, axis: str) -> ShardedResidentTable:
     cols: Dict[str, ShardedResidentColumn] = {}
     total_tiles = None
     for name, c in rt.columns.items():
+        if c.kind == "list":
+            from ..errors import NotYetImplementedError
+
+            raise NotYetImplementedError(
+                f"shard_resident: list column {name!r} (leaf grid differs "
+                f"from the row grid; shard the flat columns)"
+            )
         planes = []
         for wt3, bits in c.planes:
             sh, nt = _shard_plane(wt3)

@@ -165,8 +165,28 @@ def _roundtrip(tmp_path, table: pa.Table, name="rt.str", page=512, ratio=None):
         got = back.column(f.name).combine_chunks()
         if got.type != exp.type:
             got = got.cast(exp.type)
-        assert got.equals(exp), f"column {f.name!r} roundtrip mismatch"
+        if pa.types.is_floating(exp.type):
+            # bit-level comparison (stronger than equals, and NaN-proof)
+            assert _float_bits_equal(exp, got), f"column {f.name!r} bits"
+        else:
+            assert got.equals(exp), f"column {f.name!r} roundtrip mismatch"
     return rt
+
+
+def _float_bits_equal(exp: pa.Array, got: pa.Array) -> bool:
+    ok_e = ~np.asarray(exp.is_null())
+    ok_g = ~np.asarray(got.is_null())
+    if not np.array_equal(ok_e, ok_g):
+        return False
+    npdt = np.float32 if exp.type.bit_width == 32 else np.float64
+    udt = np.uint32 if exp.type.bit_width == 32 else np.uint64
+
+    def bits(a):
+        return np.frombuffer(
+            a.buffers()[1], dtype=npdt, count=len(a) + a.offset
+        )[a.offset :].view(udt)
+
+    return np.array_equal(bits(exp)[ok_e], bits(got)[ok_g])
 
 
 def test_resident_wide_int64_loads_and_sums(tmp_path, interp_pallas):
@@ -426,13 +446,15 @@ def test_resident_join_through_dsl(tmp_path, interp_pallas):
 
 
 def test_resident_unsupported_types_raise(tmp_path, interp_pallas):
+    # lists load since r5; struct stays an explicit raise (never silent)
     from strawboat_tpu.exec.resident import load_resident
 
+    st = pa.struct([pa.field("a", pa.int64())])
     t = pa.table(
-        {"l": pa.array([[1, 2], [3]], pa.list_(pa.int64()))},
-        schema=pa.schema([pa.field("l", pa.list_(pa.int64()), nullable=False)]),
+        {"s": pa.array([{"a": 1}, {"a": 2}], st)},
+        schema=pa.schema([pa.field("s", st, nullable=False)]),
     )
-    p = str(tmp_path / "list.str")
+    p = str(tmp_path / "struct.str")
     write_file(p, t)
     with pytest.raises(NotYetImplementedError):
         load_resident(p)
@@ -595,19 +617,27 @@ def test_resident_fused_group_order_minmax(tmp_path, interp_pallas):
         assert int(res2["s"][i]) == e[2]
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
 def test_resident_fuzz_roundtrip(tmp_path, interp_pallas, seed):
     """Random schema/dtype/nullability/cardinality tables roundtrip through
-    resident planes exactly, and a random range filter_sum matches numpy."""
+    resident planes exactly (floats compared at the BIT level, so NaN/inf
+    injection is covered); a random range filter_sum AND a random grouped
+    aggregate match numpy.  Seeds 4–5 cross the default 65,536-row page
+    boundary with the default page size."""
     rng = np.random.default_rng(100 + seed)
-    n = int(rng.integers(300, 1500))
+    big = seed >= 4
+    n = int(rng.integers(66_000, 80_000)) if big else int(rng.integers(300, 1500))
     cols = {}
     schema = []
-    kinds = rng.choice(
-        ["i64", "i32", "i64wide", "f64", "f32", "str", "bool", "neg"],
-        size=4,
-        replace=True,
+    kinds = list(
+        rng.choice(
+            ["i64", "i32", "i64wide", "f64", "f32", "str", "bool", "neg",
+             "ts", "date", "dec", "allnull", "f64nan"],
+            size=3 if big else 5,
+            replace=True,
+        )
     )
+    kinds.append("grp")  # always one groupable small-cardinality key
     for i, kind in enumerate(kinds):
         name = f"c{i}_{kind}"
         nullable = bool(rng.random() < 0.4)
@@ -628,8 +658,22 @@ def test_resident_fuzz_roundtrip(tmp_path, interp_pallas, seed):
             v = rng.integers(-10000, 100, n)
             arr = pa.array(v, pa.int64())
             ptype = pa.int64()
+        elif kind == "grp":
+            v = rng.integers(0, 9, n)
+            arr = pa.array(v, pa.int64())
+            ptype = pa.int64()
+            nullable, nulls = False, None  # the grouped-agg key stays dense
         elif kind == "f64":
             v = np.round(rng.uniform(-1000, 1000, n), int(rng.integers(0, 4)))
+            arr = pa.array(v, pa.float64())
+            ptype = pa.float64()
+        elif kind == "f64nan":
+            v = rng.uniform(-10, 10, n)
+            sp = rng.integers(0, 5, n)
+            v[sp == 0] = np.nan
+            v[sp == 1] = np.inf
+            v[sp == 2] = -np.inf
+            v[sp == 3] = -0.0
             arr = pa.array(v, pa.float64())
             ptype = pa.float64()
         elif kind == "f32":
@@ -640,6 +684,26 @@ def test_resident_fuzz_roundtrip(tmp_path, interp_pallas, seed):
             v = rng.random(n) < 0.5
             arr = pa.array(v, pa.bool_())
             ptype = pa.bool_()
+        elif kind == "ts":
+            v = rng.integers(1_500_000_000_000_000, 1_800_000_000_000_000, n)
+            ptype = pa.timestamp("us")
+            arr = pa.array(v, pa.int64()).cast(ptype)
+        elif kind == "date":
+            v = rng.integers(10_000, 20_000, n).astype(np.int32)
+            ptype = pa.date32()
+            arr = pa.array(v, pa.int32()).cast(ptype)
+        elif kind == "dec":
+            import decimal
+
+            ptype = pa.decimal128(12, 2)
+            v = rng.integers(-(10**9), 10**9, n)
+            arr = pa.array(
+                [decimal.Decimal(int(x)) / 100 for x in v], ptype
+            )
+        elif kind == "allnull":
+            ptype = rng.choice([pa.int64(), pa.float64(), pa.string()])
+            arr = pa.array([None] * n, ptype)
+            nullable, nulls = True, None  # already all null
         else:  # str
             words = np.array(["aa", "bb", "cc", "dd", "ee", "ffff", ""])
             v = words[rng.integers(0, len(words), n)]
@@ -648,10 +712,12 @@ def test_resident_fuzz_roundtrip(tmp_path, interp_pallas, seed):
         if nulls is not None:
             arr = pa.array(arr.to_pylist(), ptype, mask=nulls)
         cols[name] = arr
-        schema.append(pa.field(name, ptype, nullable=nullable))
+        schema.append(pa.field(name, ptype, nullable=nullable or kind == "allnull"))
     t = pa.table(cols, schema=pa.schema(schema))
-    rt = _roundtrip(tmp_path, t, f"fuzz{seed}.str", page=256)
-    # random filter_sum over the first int column, if any
+    rt = _roundtrip(
+        tmp_path, t, f"fuzz{seed}.str", page=65536 if big else 256
+    )
+    # random filter_sum over the first plain-int column, if any
     for f in t.schema:
         if pa.types.is_integer(f.type):
             src = t.column(f.name).combine_chunks()
@@ -661,6 +727,26 @@ def test_resident_fuzz_roundtrip(tmp_path, interp_pallas, seed):
             got = int(rt.filter_sum({f.name: (lo, None)}, value=f.name))
             assert got == int(v[ok & (v >= lo)].sum())
             break
+    # random grouped aggregate over the dense key vs numpy
+    key = next(nm for nm in t.schema.names if nm.endswith("grp"))
+    val = next(
+        (
+            f.name
+            for f in t.schema
+            if pa.types.is_integer(f.type) and f.name != key
+        ),
+        key,
+    )
+    g = np.asarray(t.column(key).combine_chunks())
+    src = t.column(val).combine_chunks()
+    vv = np.asarray(src.fill_null(0), dtype=np.int64)
+    ok = ~np.asarray(src.is_null())
+    (sums,), cnt = rt.group_sum(key, [val], num_groups=9)
+    sums, cnt = np.asarray(sums), np.asarray(cnt)
+    for k in range(9):
+        sel = (g == k) & ok
+        assert sums[k] == int(vv[sel].sum()), (seed, k)
+        assert cnt[k] == int(sel.sum()), (seed, k)
 
 
 def test_sharded_resident_group_sum(tmp_path, interp_pallas):
@@ -1007,3 +1093,98 @@ def test_make_resident_device_direct_no_host_roundtrip(tmp_path, interp_pallas):
     s = int(rt.filter_sum({"i32": (1000, 200000)}, value="i32"))
     v = np.asarray(t.column("i32"))
     assert s == int(v[(v >= 1000) & (v < 200000)].astype(np.int64).sum())
+
+
+def test_resident_list_int_roundtrip_and_sum(tmp_path, interp_pallas):
+    """list<int64> loads as a lengths plane + child planes; per-row
+    list_sum matches numpy; to_arrow rebuild is exact."""
+    rng = np.random.default_rng(21)
+    n = 700
+    lens = rng.integers(0, 6, n)
+    lists = [list(map(int, rng.integers(-50, 1000, k))) for k in lens]
+    t = pa.table(
+        {"l": pa.array(lists, pa.list_(pa.int64()))},
+        schema=pa.schema([pa.field("l", pa.list_(pa.int64()), nullable=False)]),
+    )
+    rt = _roundtrip(tmp_path, t, "listint.str")
+    sums = np.asarray(rt.list_sum("l"))[:n]
+    exp = np.array([sum(x) for x in lists], dtype=np.int64)
+    assert np.array_equal(sums, exp)
+
+
+def test_resident_list_utf8_roundtrip(tmp_path, interp_pallas):
+    rng = np.random.default_rng(22)
+    n = 500
+    words = ["alpha", "bb", "", "cc", "dddd"]
+    lists = [
+        [words[int(i)] for i in rng.integers(0, len(words), int(k))]
+        for k in rng.integers(0, 4, n)
+    ]
+    t = pa.table(
+        {"ls": pa.array(lists, pa.list_(pa.string()))},
+        schema=pa.schema(
+            [pa.field("ls", pa.list_(pa.string()), nullable=False)]
+        ),
+    )
+    _roundtrip(tmp_path, t, "listutf8.str")
+
+
+def test_resident_list_nullable_rows_and_leaves(tmp_path, interp_pallas):
+    """Null rows and null leaf elements both survive; list_sum treats null
+    leaves as 0 and null rows sum to 0."""
+    rng = np.random.default_rng(23)
+    n = 400
+    lists = []
+    for i in range(n):
+        if rng.random() < 0.2:
+            lists.append(None)
+        else:
+            lists.append(
+                [
+                    None if rng.random() < 0.3 else round(float(v), 2)
+                    for v in rng.uniform(-10, 10, int(rng.integers(0, 5)))
+                ]
+            )
+    t = pa.table(
+        {"lf": pa.array(lists, pa.list_(pa.float64()))},
+        schema=pa.schema(
+            [pa.field("lf", pa.list_(pa.float64()), nullable=True)]
+        ),
+    )
+    rt = _roundtrip(tmp_path, t, "listnull.str")
+    sums = np.asarray(rt.list_sum("lf"))[:n]
+    exp = np.array(
+        [
+            0.0 if x is None else sum(v for v in x if v is not None)
+            for x in lists
+        ]
+    )
+    assert np.allclose(sums, exp)
+
+
+def test_resident_list_of_list(tmp_path, interp_pallas):
+    """list<list<int>> loads by recursion (child is itself a list column)."""
+    lists = [[[1, 2], [3]], [], [[4], [], [5, 6, 7]], [[8]]] * 60
+    t = pa.table(
+        {"ll": pa.array(lists, pa.list_(pa.list_(pa.int64())))},
+        schema=pa.schema(
+            [pa.field("ll", pa.list_(pa.list_(pa.int64())), nullable=False)]
+        ),
+    )
+    _roundtrip(tmp_path, t, "listlist.str")
+
+
+def test_resident_empty_table(tmp_path, interp_pallas):
+    """0-row tables load, roundtrip, and aggregate to zero."""
+    t = pa.table(
+        {"a": pa.array([], pa.int64()), "s": pa.array([], pa.string())},
+        schema=pa.schema(
+            [
+                pa.field("a", pa.int64(), nullable=False),
+                pa.field("s", pa.string(), nullable=False),
+            ]
+        ),
+    )
+    rt = _roundtrip(tmp_path, t, "empty.str")
+    assert rt.num_rows == 0
+    assert int(rt.filter_sum({}, value="a")) == 0
