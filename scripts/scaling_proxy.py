@@ -67,39 +67,85 @@ def main():
             ),
         )
 
-        def run(n_dev: int) -> float:
+        from strawboat_tpu.parallel.pipeline import (
+            pipelined_distributed_aggregate,
+            prepared_dataset_chunks,
+        )
+
+        AGGS = {
+            "sum_price": ("sum", "l_extendedprice"),
+            "cnt": ("count", "l_extendedprice"),
+        }
+
+        def verify(res, n_dev):
+            ok = np.asarray(res["valid"])
+            got = dict(
+                zip(
+                    np.asarray(res["keys"])[ok].tolist(),
+                    np.asarray(res["sum_price"])[ok].tolist(),
+                )
+            )
+            assert got == exp, f"mesh {n_dev}: aggregate mismatch"
+
+        def run(n_dev: int):
+            """Returns (t_e2e, t_feed, t_exchange, bytes_exchanged)."""
             mesh = make_mesh(n_dev)
 
-            def once():
+            def e2e():
                 t0 = time.perf_counter()
                 res = streamed_dataset_aggregate(
-                    mesh,
-                    "shards",
-                    paths,
-                    key="l_quantity",
-                    aggs={
-                        "sum_price": ("sum", "l_extendedprice"),
-                        "cnt": ("count", "l_extendedprice"),
-                    },
-                    chunk_pages=16,
-                    num_groups=128,
+                    mesh, "shards", paths,
+                    key="l_quantity", aggs=AGGS,
+                    chunk_pages=16, num_groups=128,
                 )
                 dt = time.perf_counter() - t0
-                ok = np.asarray(res["valid"])
-                got = dict(
-                    zip(
-                        np.asarray(res["keys"])[ok].tolist(),
-                        np.asarray(res["sum_price"])[ok].tolist(),
-                    )
-                )
-                assert got == exp, f"mesh {n_dev}: aggregate mismatch"
+                verify(res, n_dev)
                 return dt
 
-            once()  # compile warm-up
-            return min(once() for _ in range(2))
+            e2e()  # compile warm-up
+            t_e2e = min(e2e() for _ in range(2))
 
-        t1 = run(1)
-        t8 = run(8)
+            # stage decomposition: FEED (host chunk decode + sharded
+            # device_put — embarrassingly parallel across real hosts) vs
+            # EXCHANGE+COMBINE (keyed all_to_all + grouped combine — the
+            # only stage that pays communication on a pod).
+            def feed_once():
+                t0 = time.perf_counter()
+                out = list(
+                    prepared_dataset_chunks(
+                        mesh, "shards", paths, "l_quantity", AGGS,
+                        chunk_pages=16,
+                    )
+                )
+                for k, vals, m in out:
+                    k.block_until_ready()
+                return time.perf_counter() - t0, out
+
+            t_feed, chunks = feed_once()
+            t_feed2, chunks = feed_once()
+            t_feed = min(t_feed, t_feed2)
+            bytes_ex = sum(
+                k.size * k.dtype.itemsize
+                + sum(a.size * a.dtype.itemsize for _f, a in vals.values())
+                + m.size
+                for k, vals, m in chunks
+            )
+
+            def exchange_once():
+                t0 = time.perf_counter()
+                res = pipelined_distributed_aggregate(
+                    mesh, "shards", iter(chunks), num_groups=128
+                )
+                dt = time.perf_counter() - t0
+                verify(res, n_dev)
+                return dt
+
+            exchange_once()  # warm (stage jits differ from e2e? cached)
+            t_ex = min(exchange_once() for _ in range(2))
+            return t_e2e, t_feed, t_ex, bytes_ex
+
+        t1, f1, e1, _b1 = run(1)
+        t8, f8, e8, b8 = run(8)
     rows_s_1 = n / t1
     rows_s_8 = n / t8
     out = {
@@ -107,11 +153,27 @@ def main():
         "rows_s_8": round(rows_s_8, 1),
         "speedup_8": round(rows_s_8 / rows_s_1, 3),
         "efficiency_proxy": round(rows_s_8 / rows_s_1 / 8, 4),
+        # per-stage decomposition (lets a pod number be predicted from this
+        # box: the feed is comm-free across hosts — each host decodes its
+        # own file shard, so pod feed wall ~= feed_s/N_hosts; only the
+        # exchange stage pays ICI, moving exchange_bytes*(N-1)/N^2 per
+        # device per all_to_all)
+        "feed_s_1": round(f1, 3),
+        "feed_s_8": round(f8, 3),
+        "exchange_s_1": round(e1, 3),
+        "exchange_s_8": round(e8, 3),
+        "exchange_bytes": int(b8),
+        "exchange_fraction_8": round(e8 / max(e8 + f8, 1e-9), 4),
+        # per-device exchange-stage work at mesh 8 vs 1/8 of the mesh-1
+        # stage; 1.0 = the stage scales linearly on THIS harness (shared
+        # CPU cores serialize it, so this understates pod ICI scaling)
+        "exchange_efficiency_proxy": round(e1 / 8.0 / max(e8, 1e-9), 4),
         "n_rows": n,
         "note": (
             "virtual 8-CPU mesh sharing one host's cores — code-path proxy; "
             "per-device compute cannot scale here, pod ICI numbers require "
-            "real chips"
+            "real chips.  Pod projection: wall ~= feed_s/N + exchange over "
+            "ICI (exchange_bytes*(N-1)/N^2 per device per round)"
         ),
     }
     print(json.dumps(out), flush=True)

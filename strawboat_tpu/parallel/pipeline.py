@@ -179,43 +179,73 @@ def streamed_dataset_aggregate(
     from ..errors import NotYetImplementedError
     from ..exec.dataset import iter_dataset_chunks
 
+    return pipelined_distributed_aggregate(
+        mesh,
+        axis,
+        prepared_dataset_chunks(
+            mesh, axis, paths, key, aggs, chunk_pages, predicates
+        ),
+        num_groups,
+    )
+
+
+def prepared_dataset_chunks(
+    mesh: Mesh,
+    axis: str,
+    paths,
+    key: str,
+    aggs: Dict[str, Tuple[str, str]],
+    chunk_pages: int = 64,
+    predicates=None,
+):
+    """The FEED stage of ``streamed_dataset_aggregate`` on its own: host
+    chunk decode → padded sharded device_put, yielding (key, values, mask)
+    tuples ready for ``pipelined_distributed_aggregate``.
+
+    Exposed separately so scaling harnesses can time the host-bound feed
+    and the device exchange+combine independently (the feed is
+    embarrassingly parallel across real hosts — each decodes its own file
+    shard with zero communication — so only the exchange stage can
+    sub-scale on a pod)."""
+    import numpy as np
+
+    from jax.sharding import NamedSharding
+
+    from ..errors import NotYetImplementedError
+    from ..exec.dataset import iter_dataset_chunks
+
     n_shards = mesh.shape[axis]
     sharding = NamedSharding(mesh, P(axis))
     cols = sorted({key} | {c for (_fn, c) in aggs.values()})
 
-    def _chunks():
-        import numpy as np
-
-        for chunk in iter_dataset_chunks(
-            paths, chunk_pages, columns=cols, predicates=predicates
-        ):
-            kc = chunk[key]
-            if kc.dictionary is not None:
-                raise NotYetImplementedError(
-                    "streamed aggregate over dictionary-coded keys "
-                    "(per-chunk dictionaries are not comparable)"
-                )
-            n = chunk.num_rows
-            padded = -(-max(n, 1) // n_shards) * n_shards
-
-            def _put(c):
-                v = c.values
-                if padded != v.shape[0]:
-                    v = jnp.concatenate(
-                        [v, jnp.zeros(padded - v.shape[0], dtype=v.dtype)]
-                    )
-                return jax.device_put(v, sharding)
-
-            mask_np = np.zeros(padded, dtype=bool)
-            mask_np[:n] = True
-            for c in cols:
-                if chunk[c].validity is not None:
-                    mask_np[:n] &= np.asarray(chunk[c].validity)
-            mask = jax.device_put(jnp.asarray(mask_np), sharding)
-            yield (
-                _put(kc),
-                {name: (fn, _put(chunk[c])) for name, (fn, c) in aggs.items()},
-                mask,
+    for chunk in iter_dataset_chunks(
+        paths, chunk_pages, columns=cols, predicates=predicates
+    ):
+        kc = chunk[key]
+        if kc.dictionary is not None:
+            raise NotYetImplementedError(
+                "streamed aggregate over dictionary-coded keys "
+                "(per-chunk dictionaries are not comparable)"
             )
+        n = chunk.num_rows
+        padded = -(-max(n, 1) // n_shards) * n_shards
 
-    return pipelined_distributed_aggregate(mesh, axis, _chunks(), num_groups)
+        def _put(c):
+            v = c.values
+            if padded != v.shape[0]:
+                v = jnp.concatenate(
+                    [v, jnp.zeros(padded - v.shape[0], dtype=v.dtype)]
+                )
+            return jax.device_put(v, sharding)
+
+        mask_np = np.zeros(padded, dtype=bool)
+        mask_np[:n] = True
+        for c in cols:
+            if chunk[c].validity is not None:
+                mask_np[:n] &= np.asarray(chunk[c].validity)
+        mask = jax.device_put(jnp.asarray(mask_np), sharding)
+        yield (
+            _put(kc),
+            {name: (fn, _put(chunk[c])) for name, (fn, c) in aggs.items()},
+            mask,
+        )
