@@ -60,6 +60,126 @@ class FamilyStats:
     top_value: object  # most frequent value (ties arbitrary)
     max_count: int
     set_count: int
+    # large no-null pages: the stats pass's first-occurrence factorize
+    # (codes u32 + sets), reused verbatim by dict_encode — one hash pass
+    # per page instead of two
+    dict_codes: Optional[np.ndarray] = None
+    dict_sets: Optional[np.ndarray] = None
+
+
+_EXACT_STATS_MAX = 8192  # pages up to this size: always exact one-pass stats
+_STATS_SAMPLE = 4096
+
+
+def _gen_stats_sampled(
+    values: np.ndarray, validity: Optional[np.ndarray]
+) -> Optional[FamilyStats]:
+    """Large-page stats with a cardinality-sample gate.
+
+    min/max/run/sortedness stay EXACT (vectorized numpy — SIMD over the
+    page); the distinct/top HASH pass — the dominant per-page write cost —
+    first runs on a strided 4096-value sample and only escalates to the
+    exact full pass when the sample says a hash-dependent codec (Dict /
+    OneValue / Freq) is plausible (low distinct count or a dominant top
+    value).  Genuinely high-cardinality pages skip the full hash:
+    ``unique_count`` is then pessimistically ``n`` and ``max_count`` the
+    scaled sample share — values that only feed ratio estimates the
+    chooser REJECTS anyway (dict needs unique*3 < count, freq needs a
+    >=90% top).  Sub-8192-value pages never take this path, so small
+    fixture files stay byte-identical.
+    """
+    from .. import native
+
+    n = len(values)
+    stride = max(1, n // _STATS_SAMPLE)
+    sample = np.ascontiguousarray(values[::stride][:_STATS_SAMPLE])
+    st_s = native.int_stats_native(sample, None)
+    if st_s is None:
+        return None
+    m = len(sample)
+    if st_s.unique_count <= m // 2 or st_s.max_count >= 0.85 * m:
+        # dict/freq plausible — pay an exact full pass.  For no-null 4/8B
+        # pages that pass is the first-occurrence FACTORIZE whose
+        # codes/sets dict_encode then reuses verbatim (one hash pass per
+        # page instead of stats-hash + encode-hash).
+        if validity is None and values.dtype.itemsize in (4, 8):
+            fs = _gen_stats_factorized(values)
+            if fs is not None:
+                return fs
+        return native.int_stats_native(values, validity)
+    null_count = 0 if validity is None else int(n - np.count_nonzero(validity))
+    valid_vals = values if validity is None else values[validity]
+    if len(valid_vals):
+        prev = np.empty_like(valid_vals)
+        prev[0] = 0
+        prev[1:] = valid_vals[:-1]
+        neq = valid_vals != prev
+        run_count = int(np.count_nonzero(neq))
+        is_sorted = bool(np.all(valid_vals >= prev))
+    else:
+        run_count, is_sorted = 0, True
+    return FamilyStats(
+        values=values,
+        validity=validity,
+        tuple_count=n,
+        total_bytes=n * values.dtype.itemsize,
+        null_count=null_count,
+        average_run_length=(n / run_count) if run_count else float("inf"),
+        is_sorted=is_sorted,
+        min=values.min() if n else 0,
+        max=values.max() if n else 0,
+        unique_count=n,  # pessimistic: rejects Dict (unique*3 < count)
+        top_value=st_s.top_value,
+        max_count=min(n, int(st_s.max_count) * n // m),  # < 0.85n: no Freq
+        set_count=n - null_count,
+    )
+
+
+def _gen_stats_factorized(values: np.ndarray) -> Optional[FamilyStats]:
+    """Exact stats for a no-null page via ONE first-occurrence factorize;
+    the codes/sets ride on the stats for dict_encode to reuse."""
+    from .. import native
+
+    n = len(values)
+    keys = bit_view(values)
+    kind = np.uint32 if keys.dtype.itemsize == 4 else np.uint64
+    r = native.factorize(np.ascontiguousarray(keys).view(kind))
+    if r is None:
+        return None
+    codes, uniq_bits = r
+    sets = uniq_bits.view(values.dtype)
+    counts = np.bincount(codes, minlength=len(sets)) if n else np.zeros(0, np.int64)
+    if len(counts):
+        ti = int(np.argmax(counts))
+        top_value, max_count = sets[ti], int(counts[ti])
+    else:
+        top_value, max_count = 0, 0
+    if n:
+        prev = np.empty_like(values)
+        prev[0] = 0
+        prev[1:] = values[:-1]
+        neq = values != prev
+        run_count = int(np.count_nonzero(neq))
+        is_sorted = bool(np.all(values >= prev))
+    else:
+        run_count, is_sorted = 0, True
+    return FamilyStats(
+        values=values,
+        validity=None,
+        tuple_count=n,
+        total_bytes=n * values.dtype.itemsize,
+        null_count=0,
+        average_run_length=(n / run_count) if run_count else float("inf"),
+        is_sorted=is_sorted,
+        min=values.min() if n else 0,
+        max=values.max() if n else 0,
+        unique_count=len(sets),
+        top_value=top_value,
+        max_count=max_count,
+        set_count=n,
+        dict_codes=codes,
+        dict_sets=sets,
+    )
 
 
 def gen_stats(values: np.ndarray, validity: Optional[np.ndarray]) -> FamilyStats:
@@ -69,6 +189,10 @@ def gen_stats(values: np.ndarray, validity: Optional[np.ndarray]) -> FamilyStats
     if n >= 4096 and values.dtype.kind in "iu":
         from .. import native
 
+        if n > _EXACT_STATS_MAX:
+            fast = _gen_stats_sampled(values, validity)
+            if fast is not None:
+                return fast
         fast = native.int_stats_native(values, validity)
         if fast is not None:
             return fast
@@ -256,8 +380,18 @@ def dict_encode(
     validity: Optional[np.ndarray],
     options,
     compress_indices: Callable,
+    stats: Optional["FamilyStats"] = None,
 ) -> bytes:
-    indices, sets = dict_indices(values, validity)
+    if (
+        validity is None
+        and stats is not None
+        and getattr(stats, "dict_codes", None) is not None
+    ):
+        # the stats pass already factorized this page (no nulls → the
+        # push rule keeps slot order) — one hash pass serves both
+        indices, sets = stats.dict_codes, stats.dict_sets
+    else:
+        indices, sets = dict_indices(values, validity)
     out = bytearray()
     out += compress_indices(indices, None, options.forbid(Compression.DICT))
     out += np.uint32(len(sets)).tobytes()

@@ -34,6 +34,11 @@ class BinaryStats:
     null_count: int
     max_count: int  # count of the most frequent slice
     top_value: bytes
+    # the dictionary_encode of the page's array (over ALL slots) — stats
+    # and dict_encode used to each run their own hash pass over every
+    # slice; one pass now serves both (dict_encode reuses this whenever
+    # the push rule doesn't reorder, i.e. no nulls)
+    denc: object = None
 
 
 def gen_stats(
@@ -42,9 +47,10 @@ def gen_stats(
     n = len(offsets) - 1
     null_count = 0 if validity is None else int(n - np.count_nonzero(validity))
     arr = _to_pa(offsets, values, None)  # no validity: distinct over all slots
-    vc = arr.value_counts()
-    counts = vc.field("counts").to_numpy(zero_copy_only=False)
-    uniques = vc.field("values")
+    denc = arr.dictionary_encode()
+    uniques = denc.dictionary
+    idx = denc.indices.to_numpy(zero_copy_only=False)
+    counts = np.bincount(idx, minlength=len(uniques)) if n else np.zeros(0, np.int64)
     if len(counts):
         top_i = int(np.argmax(counts))
         max_count = int(counts[top_i])
@@ -53,17 +59,17 @@ def gen_stats(
             top_value = top_value.encode()
     else:
         max_count, top_value = 0, b""
-    lens = np.diff(offsets)
     # total unique size: sum over distinct slices of (len + 8)
     uniq_lens = pa.compute.binary_length(uniques).to_numpy(zero_copy_only=False)
     return BinaryStats(
         tuple_count=n,
         total_bytes=int(offsets[-1] - offsets[0]) + (n + 1) * offsets.dtype.itemsize,
-        unique_count=len(counts),
-        total_unique_size=int(uniq_lens.sum()) + 8 * len(counts),
+        unique_count=len(uniques),
+        total_unique_size=int(uniq_lens.sum()) + 8 * len(uniques),
         null_count=null_count,
         max_count=max_count,
         top_value=top_value,
+        denc=denc,
     )
 
 
@@ -123,6 +129,7 @@ def dict_encode(
     values: np.ndarray,
     validity: Optional[np.ndarray],
     options: WriteOptions,
+    stats: Optional[BinaryStats] = None,
 ) -> bytes:
     n = len(offsets) - 1
     # push rule (binary/dict.rs:66-76): nulls repeat the last index, except a
@@ -133,8 +140,14 @@ def dict_encode(
         pushed = validity.copy()
         if n:
             pushed[0] = True
-    arr = _to_pa(offsets, values, None)
-    dict_enc = arr.take(np.flatnonzero(pushed)).dictionary_encode()
+    if validity is None and stats is not None and stats.denc is not None:
+        # no nulls → the push rule keeps every slot in order, so the
+        # stats pass's dictionary_encode IS the encode's (one hash pass
+        # per page instead of two)
+        dict_enc = stats.denc
+    else:
+        arr = _to_pa(offsets, values, None)
+        dict_enc = arr.take(np.flatnonzero(pushed)).dictionary_encode()
     codes_pushed = dict_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     sets = dict_enc.dictionary
     codes = np.full(n, -1, dtype=np.int64)
@@ -370,7 +383,7 @@ def compress_binary(
     if codec == Compression.ONE_VALUE:
         body = one_value_encode(offsets, values, validity)
     elif codec == Compression.DICT:
-        body = dict_encode(offsets, values, validity, options)
+        body = dict_encode(offsets, values, validity, options, stats)
     elif codec == Compression.FREQ:
         body = freq_encode(offsets, values, validity, stats, options)
     else:

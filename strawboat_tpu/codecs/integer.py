@@ -194,7 +194,7 @@ def _codec_compress(
     if codec == Compression.RLE:
         return rle_encode(values, validity)
     if codec == Compression.DICT:
-        return dict_encode(values, validity, options, compress_integer)
+        return dict_encode(values, validity, options, compress_integer, stats)
     if codec == Compression.ONE_VALUE:
         return one_value_encode(values, validity)
     if codec == Compression.FREQ:

@@ -706,9 +706,18 @@ class ResidentTable:
 # ---------------------------------------------------------------------------
 
 
+_DEVICE_PACK_MIN = 1 << 16  # below this the host pack beats jit dispatch
+
+
 def _pack_plane(vals: np.ndarray, bits: int, tile: int):
     """(n,) uint32 values (< 2^bits) → (n_tiles, bits, tile) device words,
-    PRE-PERMUTED so the tiled unpack emits natural row order directly."""
+    PRE-PERMUTED so the tiled unpack emits natural row order directly.
+
+    Large columns transfer the raw u32 values and pack ON DEVICE
+    (``_pack_plane_device`` — the bit-level inverse of the unpack kernel,
+    pure VPU shifts/ors): the host-side feed permutation + pack_blocks +
+    word transpose were the dominant cost of resident loads.  Small
+    columns keep the host pack (jit dispatch would dominate)."""
     import jax.numpy as jnp
 
     from ..kernels.bitunpack_pallas import transpose_words_host_tiled
@@ -716,6 +725,12 @@ def _pack_plane(vals: np.ndarray, bits: int, tile: int):
 
     assert tile % 512 == 0, "tile must be a LANE_TILE multiple"
     bits = max(bits, 1)
+    if len(vals) >= _DEVICE_PACK_MIN:
+        return _pack_plane_device(
+            jnp.asarray(np.ascontiguousarray(vals, dtype=np.uint32)),
+            bits,
+            tile,
+        )
     n = max(len(vals), 1)
     lanes = (-(-n // 128)) * 4  # blocks * 4
     lanes_final = -(-lanes // tile) * tile

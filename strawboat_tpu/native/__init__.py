@@ -94,7 +94,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.c_void_p,
         ]
-        for fn in (lib.sb_int_stats_i64, lib.sb_int_stats_u64):
+        for fn in (
+            lib.sb_int_stats_i64,
+            lib.sb_int_stats_u64,
+            lib.sb_int_stats_i32,
+            lib.sb_int_stats_u32,
+            lib.sb_int_stats_i16,
+            lib.sb_int_stats_u16,
+            lib.sb_int_stats_i8,
+            lib.sb_int_stats_u8,
+        ):
             fn.restype = ctypes.c_int
             fn.argtypes = [
                 ctypes.c_void_p,
@@ -398,19 +407,19 @@ def int_stats_native(values: np.ndarray, validity: Optional[np.ndarray]):
     if lib is None:
         return None
     dtype = values.dtype
-    unsigned = dtype == np.uint64
-    v = np.ascontiguousarray(
-        values if values.itemsize == 8 else values.astype(
-            np.uint64 if dtype.kind == "u" else np.int64
-        )
+    # stats run straight off the storage width (no astype copy per page)
+    fn = getattr(
+        lib, f"sb_int_stats_{dtype.kind}{dtype.itemsize * 8}", None
     )
+    if fn is None:
+        return None
+    v = np.ascontiguousarray(values)
     vmask = (
         np.ascontiguousarray(validity, dtype=np.uint8)
         if validity is not None
         else None
     )
     out = np.zeros(8, dtype=np.int64)
-    fn = lib.sb_int_stats_u64 if (unsigned or dtype.kind == "u") else lib.sb_int_stats_i64
     fn(
         v.ctypes.data_as(ctypes.c_void_p),
         vmask.ctypes.data_as(ctypes.c_void_p) if vmask is not None else None,

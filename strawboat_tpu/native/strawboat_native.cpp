@@ -267,13 +267,31 @@ static void int_stats_impl(const T* vals, const uint8_t* validity, int64_t n,
   bool sorted = true;
   T last = T(0);
   // open-addressing distinct counter (std::unordered_map's per-insert
-  // allocation + chaining made this the write path's hottest loop)
+  // allocation + chaining made this the write path's hottest loop).
+  // The table is THREAD-LOCAL and epoch-tagged: a fresh 2n-slot table per
+  // page cost a 2 MB alloc+memset per call (the dominant stats cost at
+  // 65,536-row pages — ~0.7 ms/page); tagging slots with an epoch makes
+  // reset O(1) and keeps the table hot in cache across a column's pages.
   int64_t cap = 64;
   while (cap < 2 * n) cap <<= 1;
-  const int64_t hmask = cap - 1;
-  std::vector<T> keys((size_t)cap);
-  std::vector<int64_t> cnts((size_t)cap, 0);
+  static thread_local std::vector<T> keys;
+  static thread_local std::vector<int64_t> cnts;
+  static thread_local std::vector<uint32_t> tags;
+  static thread_local uint32_t epoch = 0;
+  if ((int64_t)keys.size() < cap) {
+    keys.resize((size_t)cap);
+    cnts.resize((size_t)cap);
+    tags.assign((size_t)cap, 0);
+    epoch = 0;
+  }
+  const int64_t hmask = (int64_t)keys.size() - 1;  // pow2 by construction
+  if (++epoch == 0) {
+    std::fill(tags.begin(), tags.end(), 0u);
+    epoch = 1;
+  }
   int64_t n_distinct = 0;
+  T top = n ? vals[0] : T(0);
+  int64_t max_count = 0;
   auto bump = [&](T v) {
     uint64_t h = (uint64_t)v;
     h = (h ^ (h >> 30)) * 0xBF58476D1CE4E5B9ull;
@@ -281,14 +299,17 @@ static void int_stats_impl(const T* vals, const uint8_t* validity, int64_t n,
     h ^= h >> 31;
     int64_t i = (int64_t)(h & (uint64_t)hmask);
     for (;;) {
-      if (cnts[i] == 0) {
+      if (tags[i] != epoch) {
+        tags[i] = epoch;
         keys[i] = v;
         cnts[i] = 1;
         ++n_distinct;
+        if (max_count < 1) { max_count = 1; top = v; }
         return;
       }
       if (keys[i] == v) {
-        ++cnts[i];
+        int64_t c = ++cnts[i];
+        if (c > max_count) { max_count = c; top = v; }
         return;
       }
       i = (i + 1) & hmask;
@@ -309,14 +330,6 @@ static void int_stats_impl(const T* vals, const uint8_t* validity, int64_t n,
     if (v < vmin) vmin = v;
     if (v > vmax) vmax = v;
     bump(v);
-  }
-  T top = T(0);
-  int64_t max_count = 0;
-  for (int64_t i = 0; i < cap; ++i) {
-    if (cnts[i] > max_count) {
-      max_count = cnts[i];
-      top = keys[i];
-    }
   }
   out[0] = (int64_t)vmin;
   out[1] = (int64_t)vmax;
@@ -370,9 +383,23 @@ static int64_t factorize_impl(const T* vals, int64_t n, uint32_t* codes,
                               T* uniq, int64_t max_uniq) {
   int64_t cap = 64;
   while (cap < 2 * n) cap <<= 1;
-  const int64_t hmask = cap - 1;
-  std::vector<T> keys((size_t)cap);
-  std::vector<int32_t> slot_code((size_t)cap, -1);
+  // thread-local epoch-tagged table — see int_stats_impl (same per-call
+  // alloc+memset cost, same fix)
+  static thread_local std::vector<T> keys;
+  static thread_local std::vector<int32_t> slot_code;
+  static thread_local std::vector<uint32_t> tags;
+  static thread_local uint32_t epoch = 0;
+  if ((int64_t)keys.size() < cap) {
+    keys.resize((size_t)cap);
+    slot_code.resize((size_t)cap);
+    tags.assign((size_t)cap, 0);
+    epoch = 0;
+  }
+  const int64_t hmask = (int64_t)keys.size() - 1;
+  if (++epoch == 0) {
+    std::fill(tags.begin(), tags.end(), 0u);
+    epoch = 1;
+  }
   int64_t n_uniq = 0;
   for (int64_t i = 0; i < n; ++i) {
     T v = vals[i];
@@ -382,8 +409,9 @@ static int64_t factorize_impl(const T* vals, int64_t n, uint32_t* codes,
     h ^= h >> 31;
     int64_t s = (int64_t)(h & (uint64_t)hmask);
     for (;;) {
-      if (slot_code[s] < 0) {
+      if (tags[s] != epoch) {
         if (n_uniq >= max_uniq) return -1;
+        tags[s] = epoch;
         keys[s] = v;
         slot_code[s] = (int32_t)n_uniq;
         uniq[n_uniq] = v;
@@ -422,6 +450,44 @@ extern "C" int sb_int_stats_i64(const int64_t* vals, const uint8_t* validity,
 extern "C" int sb_int_stats_u64(const uint64_t* vals, const uint8_t* validity,
                                 int64_t n, int64_t* out) {
   int_stats_impl<uint64_t>(vals, validity, n, out);
+  return 0;
+}
+
+// 32/16/8-bit entries: stats straight off the storage width (the python
+// wrapper's astype(int64) copied every narrow page before this pass)
+extern "C" int sb_int_stats_i32(const int32_t* vals, const uint8_t* validity,
+                                int64_t n, int64_t* out) {
+  int_stats_impl<int32_t>(vals, validity, n, out);
+  return 0;
+}
+
+extern "C" int sb_int_stats_u32(const uint32_t* vals, const uint8_t* validity,
+                                int64_t n, int64_t* out) {
+  int_stats_impl<uint32_t>(vals, validity, n, out);
+  return 0;
+}
+
+extern "C" int sb_int_stats_i16(const int16_t* vals, const uint8_t* validity,
+                                int64_t n, int64_t* out) {
+  int_stats_impl<int16_t>(vals, validity, n, out);
+  return 0;
+}
+
+extern "C" int sb_int_stats_u16(const uint16_t* vals, const uint8_t* validity,
+                                int64_t n, int64_t* out) {
+  int_stats_impl<uint16_t>(vals, validity, n, out);
+  return 0;
+}
+
+extern "C" int sb_int_stats_i8(const int8_t* vals, const uint8_t* validity,
+                               int64_t n, int64_t* out) {
+  int_stats_impl<int8_t>(vals, validity, n, out);
+  return 0;
+}
+
+extern "C" int sb_int_stats_u8(const uint8_t* vals, const uint8_t* validity,
+                               int64_t n, int64_t* out) {
+  int_stats_impl<uint8_t>(vals, validity, n, out);
   return 0;
 }
 // Walk bitpacked block headers: per 128-value block [u8 num_bits][nb*16 bytes].
