@@ -182,6 +182,87 @@ def _gen_stats_factorized(values: np.ndarray) -> Optional[FamilyStats]:
     )
 
 
+def _gen_stats_float_fast(
+    values: np.ndarray, validity: Optional[np.ndarray]
+) -> Optional[FamilyStats]:
+    """Large float pages: distinct/top hash over the BIT patterns (the
+    same interning domain the double dict encoder uses), gated by the
+    cardinality sample like the integer path.  min/max/run/sorted keep
+    value semantics (identical to the numpy fallback).  Replaces the
+    per-page ``np.unique`` full sort."""
+    from .. import native
+
+    n = len(values)
+    bits = bit_view(values)
+    stride = max(1, n // _STATS_SAMPLE)
+    sample = np.ascontiguousarray(bits[::stride][:_STATS_SAMPLE])
+    st_s = native.int_stats_native(sample, None)
+    if st_s is None:
+        return None
+    m = len(sample)
+
+    def _to_float(b) -> object:
+        return np.array([b], dtype=bits.dtype).view(values.dtype)[0]
+
+    null_count = 0 if validity is None else int(n - np.count_nonzero(validity))
+    valid_vals = values if validity is None else values[validity]
+    if len(valid_vals):
+        prev = np.empty_like(valid_vals)
+        prev[0] = 0
+        prev[1:] = valid_vals[:-1]
+        neq = ~values_equal(valid_vals, prev)
+        run_count = int(np.count_nonzero(neq))
+        with np.errstate(invalid="ignore"):
+            is_sorted = bool(np.all(valid_vals >= prev))
+    else:
+        run_count, is_sorted = 0, True
+    base = dict(
+        values=values,
+        validity=validity,
+        tuple_count=n,
+        total_bytes=n * values.dtype.itemsize,
+        null_count=null_count,
+        average_run_length=(n / run_count) if run_count else float("inf"),
+        is_sorted=is_sorted,
+        min=values.min() if n else 0,
+        max=values.max() if n else 0,
+        set_count=n - null_count,
+    )
+    if st_s.unique_count <= m // 2 or st_s.max_count >= 0.85 * m:
+        # dict/freq plausible — exact full hash over the bits; no-null
+        # pages keep the factorize for dict_encode to reuse
+        if validity is None:
+            r = native.factorize(np.ascontiguousarray(bits))
+            if r is not None:
+                codes, uniq_bits = r
+                sets = uniq_bits.view(values.dtype)
+                counts = np.bincount(codes, minlength=len(sets))
+                ti = int(np.argmax(counts)) if len(counts) else 0
+                return FamilyStats(
+                    unique_count=len(sets),
+                    top_value=sets[ti] if len(counts) else 0,
+                    max_count=int(counts[ti]) if len(counts) else 0,
+                    dict_codes=codes,
+                    dict_sets=sets,
+                    **base,
+                )
+        st_f = native.int_stats_native(np.ascontiguousarray(bits), validity)
+        if st_f is None:
+            return None
+        return FamilyStats(
+            unique_count=st_f.unique_count,
+            top_value=_to_float(st_f.top_value),
+            max_count=st_f.max_count,
+            **base,
+        )
+    return FamilyStats(
+        unique_count=n,  # pessimistic: rejects Dict
+        top_value=_to_float(st_s.top_value),
+        max_count=min(n, int(st_s.max_count) * n // m),  # < 0.85n: no Freq
+        **base,
+    )
+
+
 def gen_stats(values: np.ndarray, validity: Optional[np.ndarray]) -> FamilyStats:
     n = len(values)
     # default pages are EXACTLY 65536 rows — the gate must include them
@@ -194,6 +275,14 @@ def gen_stats(values: np.ndarray, validity: Optional[np.ndarray]) -> FamilyStats
             if fast is not None:
                 return fast
         fast = native.int_stats_native(values, validity)
+        if fast is not None:
+            return fast
+    if (
+        n > _EXACT_STATS_MAX
+        and values.dtype.kind == "f"
+        and values.dtype.itemsize in (4, 8)
+    ):
+        fast = _gen_stats_float_fast(values, validity)
         if fast is not None:
             return fast
     null_count = 0 if validity is None else int(n - np.count_nonzero(validity))

@@ -170,7 +170,7 @@ def _codec_compress(
     if codec == Compression.RLE:
         return rle_encode(values, validity)
     if codec == Compression.DICT:
-        return dict_encode(values, validity, options, _compress_indices)
+        return dict_encode(values, validity, options, _compress_indices, stats)
     if codec == Compression.ONE_VALUE:
         return one_value_encode(values, validity)
     if codec == Compression.FREQ:

@@ -101,6 +101,11 @@ class ResidentColumn:
     # values are a full ResidentColumn over their OWN tiled grid.  Depth
     # recurses (list<list<…>> children are themselves 'list' columns).
     child: Optional["ResidentColumn"] = None
+    # struct kind only (loader-internal): per-field child columns, all on
+    # the PARENT row grid — make_resident unnests them to `parent.field`
+    # table columns (the scan layer's convention) and records the
+    # reassembly in ResidentTable.struct_specs
+    children: Any = None
 
     @property
     def wt3(self):  # diagnostic back-compat (plane 0 words)
@@ -199,6 +204,12 @@ class ResidentTable:
     columns: Dict[str, ResidentColumn]
     num_rows: int
     tile: int
+    # struct reassembly: {struct_name: (((field, column_name), ...),
+    # validity_plane, arrow_type)} — children live as ordinary dotted
+    # table columns (same row grid), the spec only drives to_arrow
+    struct_specs: Optional[Dict[str, Any]] = None
+    # original top-level schema order (struct names, not dotted children)
+    field_order: Optional[Any] = None
 
     def __post_init__(self):
         self._jit_cache: Dict = {}
@@ -395,12 +406,29 @@ class ResidentTable:
         mask = None if validity is None else ~np.asarray(validity)
         return self._flat_to_pa(c, vals, mask)
 
+    def _materialize_name(self, n: str) -> pa.Array:
+        if self.struct_specs and n in self.struct_specs:
+            names, vplane, atype = self.struct_specs[n]
+            children = [self._materialize_name(cn) for _sub, cn in names]
+            mask = None
+            if vplane is not None:
+                valid = (_unpack_plane_tiled(vplane, 1) != 0)[: self.num_rows]
+                mask = pa.array(~np.asarray(valid))
+            return pa.StructArray.from_arrays(
+                children, fields=list(atype), mask=mask
+            )
+        return self._materialize_pa(self.columns[n])
+
     def to_arrow(self, columns: Optional[Sequence[str]] = None) -> pa.Table:
-        """Natural-order host materialization (round-trips the loaded data)."""
-        names = list(columns) if columns is not None else list(self.columns)
+        """Natural-order host materialization (round-trips the loaded data:
+        struct columns reassemble from their dotted child columns)."""
+        if columns is not None:
+            names = list(columns)
+        else:
+            names = list(self.field_order or self.columns)
         arrays = {}
         for n in names:
-            arrays[n] = self._materialize_pa(self.columns[n])
+            arrays[n] = self._materialize_name(n)
         return pa.table(arrays)
 
     def _flat_to_pa(self, c: ResidentColumn, vals, mask) -> pa.Array:
@@ -1060,12 +1088,32 @@ def _encode_resident_column(
         child_field = pa.field(
             f"{field.name}.item", t.value_type, nullable=True
         )
+        if pa.types.is_struct(t.value_type):
+            raise NotYetImplementedError(
+                f"resident load of list<struct> column {field.name!r}"
+            )
         child = _encode_resident_column(child_field, child_arr, tile)
         bits = _bits_of(int(ln.max())) if len(ln) and ln.max() else 1
         planes, shifts = _split_planes(ln.astype(np.uint64), bits, tile)
         col = ResidentColumn(
             field.name, planes, shifts, rows, "list",
             arrow_type=t, child=child,
+        )
+    elif pa.types.is_struct(t):
+        # unnest to per-field columns on the SAME row grid (the scan
+        # layer's `parent.field` convention); parent nullability rides as
+        # this column's validity plane, children keep their own.
+        children = {}
+        for i in range(t.num_fields):
+            sub = t.field(i)
+            children[sub.name] = _encode_resident_column(
+                pa.field(f"{field.name}.{sub.name}", sub.type, nullable=True),
+                arr.field(i),
+                tile,
+            )
+        col = ResidentColumn(
+            field.name, (), (), rows, "struct", arrow_type=t,
+            children=children,
         )
     else:
         raise NotYetImplementedError(
@@ -1415,19 +1463,44 @@ def make_resident(table, tile: Optional[int] = None) -> ResidentTable:
             for f in fields
         ]
     out: Dict[str, ResidentColumn] = {}
+    struct_specs: Dict[str, Any] = {}
+    order = []
     n_rows = None
     slots = None
-    for field, col in zip(fields, encoded):
+
+    def _admit(name, col):
+        nonlocal n_rows, slots
         if n_rows is None:
             n_rows, slots = col.length, col.tiled_slots
         elif col.length != n_rows or col.tiled_slots != slots:
             raise OutOfSpecError(
-                f"resident columns disagree on row grid: {field.name!r}"
+                f"resident columns disagree on row grid: {name!r}"
             )
-        out[field.name] = col
+        out[name] = col
+
+    def _admit_col(name, col):
+        if col.kind == "struct":
+            names = []
+            for sub, ccol in col.children.items():
+                cname = f"{name}.{sub}"
+                _admit_col(cname, ccol)  # struct<struct<…>> recurses
+                names.append((sub, cname))
+            struct_specs[name] = (
+                tuple(names), col.validity_plane, col.arrow_type,
+            )
+        else:
+            _admit(name, col)
+
+    for field, col in zip(fields, encoded):
+        order.append(field.name)
+        _admit_col(field.name, col)
     if not out:
         raise OutOfSpecError("no loadable columns")
-    return ResidentTable(out, n_rows, tile)
+    return ResidentTable(
+        out, n_rows, tile,
+        struct_specs=struct_specs or None,
+        field_order=order,
+    )
 
 
 def load_resident(

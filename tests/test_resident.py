@@ -446,15 +446,16 @@ def test_resident_join_through_dsl(tmp_path, interp_pallas):
 
 
 def test_resident_unsupported_types_raise(tmp_path, interp_pallas):
-    # lists load since r5; struct stays an explicit raise (never silent)
+    # lists + structs load since r5; map (list<struct>) stays an explicit
+    # raise (never silent)
     from strawboat_tpu.exec.resident import load_resident
 
-    st = pa.struct([pa.field("a", pa.int64())])
+    mt = pa.map_(pa.string(), pa.int64())
     t = pa.table(
-        {"s": pa.array([{"a": 1}, {"a": 2}], st)},
-        schema=pa.schema([pa.field("s", st, nullable=False)]),
+        {"m": pa.array([[("a", 1)], [("b", 2), ("c", 3)]], mt)},
+        schema=pa.schema([pa.field("m", mt, nullable=False)]),
     )
-    p = str(tmp_path / "struct.str")
+    p = str(tmp_path / "map.str")
     write_file(p, t)
     with pytest.raises(NotYetImplementedError):
         load_resident(p)
@@ -1188,3 +1189,66 @@ def test_resident_empty_table(tmp_path, interp_pallas):
     rt = _roundtrip(tmp_path, t, "empty.str")
     assert rt.num_rows == 0
     assert int(rt.filter_sum({}, value="a")) == 0
+
+
+def test_resident_struct_roundtrip_and_query(tmp_path, interp_pallas):
+    """struct<int, utf8, float> unnests to `parent.field` columns on the
+    row grid (the scan layer's convention): roundtrip reassembles the
+    struct exactly, and the Query DSL runs on dotted children."""
+    from strawboat_tpu.exec import Query, col
+
+    rng = np.random.default_rng(31)
+    n = 900
+    a = rng.integers(0, 1000, n)
+    b = np.array(["x", "yy", "zzz"])[rng.integers(0, 3, n)]
+    c = np.round(rng.uniform(-5, 5, n), 2)
+    st = pa.struct(
+        [
+            pa.field("a", pa.int64()),
+            pa.field("b", pa.string()),
+            pa.field("c", pa.float64()),
+        ]
+    )
+    nulls = rng.random(n) < 0.15
+    arr = pa.StructArray.from_arrays(
+        [pa.array(a), pa.array(b), pa.array(c)],
+        fields=list(st),
+        mask=pa.array(nulls),
+    )
+    t = pa.table(
+        {"s": arr, "k": pa.array(rng.integers(0, 5, n))},
+        schema=pa.schema(
+            [
+                pa.field("s", st, nullable=True),
+                pa.field("k", pa.int64(), nullable=False),
+            ]
+        ),
+    )
+    rt = _roundtrip(tmp_path, t, "struct.str")
+    assert "s.a" in rt.columns and "s.b" in rt.columns
+    # parent struct nulls ride the children's def levels (scan-layer
+    # semantics): null rows never aggregate
+    got = int(rt.filter_sum({"s.a": (200, 800)}, value="s.a"))
+    sel = (a >= 200) & (a < 800) & ~nulls
+    assert got == int(a[sel].sum())
+    res = (
+        Query(rt)
+        .filter(col("s.b") == "yy")
+        .agg(n=("count", "s.a"))
+        .run()
+    )
+    assert int(res["n"]) == int(((b == "yy") & ~nulls).sum())
+
+
+def test_resident_struct_nested_struct(tmp_path, interp_pallas):
+    """struct<struct<int>> recurses (dotted two levels deep)."""
+    inner = pa.struct([pa.field("x", pa.int64())])
+    outer = pa.struct([pa.field("i", inner), pa.field("y", pa.int64())])
+    rows = [{"i": {"x": v}, "y": v * 2} for v in range(400)]
+    t = pa.table(
+        {"o": pa.array(rows, outer)},
+        schema=pa.schema([pa.field("o", outer, nullable=False)]),
+    )
+    rt = _roundtrip(tmp_path, t, "structnest.str")
+    assert "o.i.x" in rt.columns
+    assert int(rt.filter_sum({}, value="o.i.x")) == sum(range(400))
