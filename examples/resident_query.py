@@ -109,6 +109,50 @@ def main():
             print(f"  numpy {r}: revenue={(amount[m]*qty[m]).sum():.2f} "
                   f"orders={int(m.sum())}")
 
+        # nested columns (round 5): list<int> loads as a lengths plane +
+        # child planes (fused per-row list_sum); struct<...> unnests to
+        # `parent.field` columns the DSL queries directly.
+        from strawboat_tpu.exec.resident import load_resident as _lr
+
+        rng2 = np.random.default_rng(1)
+        items = [
+            list(map(int, rng2.integers(1, 9, int(k))))
+            for k in rng2.integers(0, 5, 64)
+        ]
+        st = pa.struct(
+            [pa.field("city", pa.string()), pa.field("zip", pa.int64())]
+        )
+        addr = pa.array(
+            [{"city": ["sf", "nyc"][i % 2], "zip": 10000 + i} for i in range(64)],
+            st,
+        )
+        t2 = pa.table(
+            {
+                "items": pa.array(items, pa.list_(pa.int64())),
+                "addr": addr,
+            },
+            schema=pa.schema(
+                [
+                    pa.field("items", pa.list_(pa.int64()), nullable=False),
+                    pa.field("addr", st, nullable=False),
+                ]
+            ),
+        )
+        p2 = os.path.join(d, "nested.str")
+        write_file(p2, t2)
+        rt2 = _lr(p2, tile=512)
+        sums = np.asarray(rt2.list_sum("items"))[:64]
+        assert sums.tolist() == [sum(x) for x in items]
+        print("  list_sum(items) first 5:", sums[:5].tolist())
+        res2 = (
+            Query(rt2)
+            .filter(col("addr.city") == "sf")
+            .agg(n=("count", "addr.zip"))
+            .run()
+        )
+        print("  addr.city == 'sf':", int(res2["n"]), "rows (expect 32)")
+        assert rt2.to_arrow().equals(t2)
+
 
 if __name__ == "__main__":
     main()
