@@ -151,7 +151,8 @@ def main():
             .run()
         )
         print("  addr.city == 'sf':", int(res2["n"]), "rows (expect 32)")
-        assert rt2.to_arrow().equals(t2)
+        # cast: to_arrow infers nullable fields; the DATA must match exactly
+        assert rt2.to_arrow().cast(t2.schema).equals(t2)
 
 
 if __name__ == "__main__":
