@@ -380,7 +380,19 @@ class ResidentTable:
         return (_unpack_plane_tiled(c.validity_plane, 1) != 0)[: c.length]
 
     def _materialize_pa(self, c: ResidentColumn) -> pa.Array:
-        """One column (or list child) → natural-order pa.Array."""
+        """One column (or list/struct child) → natural-order pa.Array."""
+        if c.kind == "struct":
+            children = [
+                self._materialize_pa(cc) for cc in c.children.values()
+            ]
+            validity = self._col_validity(c)
+            mask = (
+                None if validity is None
+                else pa.array(~np.asarray(validity))
+            )
+            return pa.StructArray.from_arrays(
+                children, fields=list(c.arrow_type), mask=mask
+            )
         if c.kind == "list":
             lengths = np.asarray(self._decode_col(c), dtype=np.int64)
             validity = self._col_validity(c)
@@ -388,6 +400,17 @@ class ResidentTable:
             offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
             np.cumsum(lengths, out=offsets[1:])
             child_arr = self._materialize_pa(c.child)
+            if c.arrow_type is not None and pa.types.is_map(c.arrow_type):
+                # child is struct<key, value>: split and rebuild the map
+                arr = pa.MapArray.from_arrays(
+                    pa.array(offsets.astype(np.int32)),
+                    child_arr.field(0),
+                    child_arr.field(1),
+                    mask=None if mask is None else pa.array(mask),
+                )
+                if arr.type != c.arrow_type:
+                    arr = arr.cast(c.arrow_type)
+                return arr
             large = c.arrow_type is not None and pa.types.is_large_list(
                 c.arrow_type
             )
@@ -1088,16 +1111,49 @@ def _encode_resident_column(
         child_field = pa.field(
             f"{field.name}.item", t.value_type, nullable=True
         )
-        if pa.types.is_struct(t.value_type):
-            raise NotYetImplementedError(
-                f"resident load of list<struct> column {field.name!r}"
-            )
         child = _encode_resident_column(child_field, child_arr, tile)
         bits = _bits_of(int(ln.max())) if len(ln) and ln.max() else 1
         planes, shifts = _split_planes(ln.astype(np.uint64), bits, tile)
         col = ResidentColumn(
             field.name, planes, shifts, rows, "list",
             arrow_type=t, child=child,
+        )
+    elif pa.types.is_map(t):
+        # map = list<struct<key, value>>: lengths plane on the row grid,
+        # keys/items as a struct child over the ENTRY grid.  Null rows
+        # have repeated offsets (length 0); MapArray.from_arrays + mask
+        # rebuilds exactly.
+        offs = np.asarray(arr.offsets.fill_null(0)).astype(np.int64) \
+            if arr.offsets.null_count else np.asarray(arr.offsets).astype(np.int64)
+        ln = np.diff(offs)
+        keys = arr.keys
+        items = arr.items
+        if len(offs) and int(offs[0]):  # sliced window: rebase children
+            keys = keys.slice(int(offs[0]), int(offs[-1] - offs[0]))
+            items = items.slice(int(offs[0]), int(offs[-1] - offs[0]))
+        ent_type = pa.struct(
+            [pa.field("key", t.key_type, nullable=False),
+             pa.field("value", t.item_type)]
+        )
+        children = {
+            "key": _encode_resident_column(
+                pa.field(f"{field.name}.key", t.key_type, nullable=True),
+                keys, tile,
+            ),
+            "value": _encode_resident_column(
+                pa.field(f"{field.name}.value", t.item_type, nullable=True),
+                items, tile,
+            ),
+        }
+        ent = ResidentColumn(
+            f"{field.name}.entries", (), (), len(keys), "struct",
+            arrow_type=ent_type, children=children,
+        )
+        bits = _bits_of(int(ln.max())) if len(ln) and ln.max() else 1
+        planes, shifts = _split_planes(ln.astype(np.uint64), bits, tile)
+        col = ResidentColumn(
+            field.name, planes, shifts, rows, "list",
+            arrow_type=t, child=ent,
         )
     elif pa.types.is_struct(t):
         # unnest to per-field columns on the SAME row grid (the scan

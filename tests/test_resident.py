@@ -446,19 +446,48 @@ def test_resident_join_through_dsl(tmp_path, interp_pallas):
 
 
 def test_resident_unsupported_types_raise(tmp_path, interp_pallas):
-    # lists + structs load since r5; map (list<struct>) stays an explicit
-    # raise (never silent)
+    # lists/structs/maps load since r5; a decimal wider than the unscaled
+    # int64 domain stays an explicit raise (never silent)
+    import decimal
+
     from strawboat_tpu.exec.resident import load_resident
 
-    mt = pa.map_(pa.string(), pa.int64())
+    dt = pa.decimal128(25, 2)
     t = pa.table(
-        {"m": pa.array([[("a", 1)], [("b", 2), ("c", 3)]], mt)},
-        schema=pa.schema([pa.field("m", mt, nullable=False)]),
+        {"d": pa.array([decimal.Decimal("12345678901234567890.12")] * 8, dt)},
+        schema=pa.schema([pa.field("d", dt, nullable=False)]),
     )
-    p = str(tmp_path / "map.str")
+    p = str(tmp_path / "widedec.str")
     write_file(p, t)
     with pytest.raises(NotYetImplementedError):
         load_resident(p)
+
+
+def test_resident_map_and_list_struct(tmp_path, interp_pallas):
+    """map<utf8, int64> and list<struct<...>> load (lengths plane + struct
+    child over the entry grid) and round-trip exactly."""
+    mt = pa.map_(pa.string(), pa.int64())
+    maps = [[("a", 1)], None, [("b", 2), ("c", 3)], [], [("d", 4)]] * 60
+    lt = pa.list_(pa.struct([("x", pa.int64()), ("y", pa.string())]))
+    lists = [
+        [{"x": 1, "y": "p"}],
+        [],
+        [{"x": 2, "y": "q"}, {"x": 3, "y": "r"}],
+        None,
+    ] * 75
+    t = pa.table(
+        {
+            "m": pa.array(maps, mt),
+            "ls": pa.array(lists, lt),
+        },
+        schema=pa.schema(
+            [
+                pa.field("m", mt, nullable=True),
+                pa.field("ls", lt, nullable=True),
+            ]
+        ),
+    )
+    _roundtrip(tmp_path, t, "maplist.str")
 
 
 def test_resident_decode_natural_matches(tmp_path, interp_pallas):
