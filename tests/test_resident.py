@@ -1281,3 +1281,32 @@ def test_resident_struct_nested_struct(tmp_path, interp_pallas):
     rt = _roundtrip(tmp_path, t, "structnest.str")
     assert "o.i.x" in rt.columns
     assert int(rt.filter_sum({}, value="o.i.x")) == sum(range(400))
+
+
+def test_make_resident_device_list_falls_back_to_host(tmp_path, interp_pallas):
+    """A DeviceTable containing a list column routes through the host
+    to_arrow fallback (device-direct nested encode is not implemented) and
+    still produces a fully working resident table."""
+    from strawboat_tpu.exec.resident import make_resident
+    from strawboat_tpu.exec.scan import scan_file
+
+    lists = [[1, 2], [], [3, 4, 5], [6]] * 100
+    t = pa.table(
+        {
+            "l": pa.array(lists, pa.list_(pa.int64())),
+            "v": pa.array(np.arange(400, dtype=np.int64)),
+        },
+        schema=pa.schema(
+            [
+                pa.field("l", pa.list_(pa.int64()), nullable=False),
+                pa.field("v", pa.int64(), nullable=False),
+            ]
+        ),
+    )
+    p = str(tmp_path / "devlist.str")
+    write_file(p, t, options=WriteOptions(max_page_size=128))
+    dt = scan_file(p)
+    rt = make_resident(dt, tile=512)
+    sums = np.asarray(rt.list_sum("l"))[:400]
+    assert sums.tolist() == [sum(x) for x in lists]
+    assert int(rt.filter_sum({}, value="v")) == int(np.arange(400).sum())
