@@ -609,6 +609,14 @@ def sample_stats(stats: FamilyStats, rng: np.random.Generator) -> FamilyStats:
     n = stats.tuple_count
     if n // SAMPLE_COUNT <= SAMPLE_SIZE:
         return stats
+    # ONE sample per page, shared by every candidate's trial compression
+    # (the reference redraws per candidate, but the ratio comparison is
+    # FAIRER on a common sample — and the sample's own gen_stats ran 2-3x
+    # per page before).  rng still advances per draw, so existing seeds
+    # keep their first-candidate sample.
+    cached = getattr(stats, "_trial_sample", None)
+    if cached is not None:
+        return cached
     separator = n // SAMPLE_COUNT
     remainder = n % SAMPLE_COUNT
     val_parts = []
@@ -624,7 +632,9 @@ def sample_stats(stats: FamilyStats, rng: np.random.Generator) -> FamilyStats:
             mask_parts.append(validity[begin : begin + SAMPLE_SIZE])
     values = np.concatenate(val_parts)
     mask = np.concatenate(mask_parts) if validity is not None else None
-    return gen_stats(values, mask)
+    out = gen_stats(values, mask)
+    stats._trial_sample = out
+    return out
 
 
 def compress_sample_ratio(
