@@ -1310,3 +1310,60 @@ def test_make_resident_device_list_falls_back_to_host(tmp_path, interp_pallas):
     sums = np.asarray(rt.list_sum("l"))[:400]
     assert sums.tolist() == [sum(x) for x in lists]
     assert int(rt.filter_sum({}, value="v")) == int(np.arange(400).sum())
+
+
+def test_make_resident_device_direct_decimal(tmp_path, interp_pallas):
+    """Decimal128 (unscaled-int64 device repr) rides the device-direct
+    encoder with wide=True and round-trips through to_arrow exactly."""
+    import decimal
+
+    from strawboat_tpu.exec.resident import make_resident
+    from strawboat_tpu.exec.scan import DeviceTable, scan_file
+
+    dt_t = pa.decimal128(12, 2)
+    vals = [decimal.Decimal(f"{x}.{x % 100:02d}") for x in range(-200, 300)]
+    t = pa.table(
+        {"d": pa.array(vals, dt_t)},
+        schema=pa.schema([pa.field("d", dt_t, nullable=False)]),
+    )
+    p = str(tmp_path / "devdec.str")
+    write_file(p, t, options=WriteOptions(max_page_size=128))
+    sc = scan_file(p)
+    with mock.patch.object(
+        DeviceTable, "to_arrow",
+        side_effect=AssertionError("device-direct must not to_arrow"),
+    ):
+        rt = make_resident(sc, tile=512)
+    back = rt.to_arrow()
+    assert back.column("d").combine_chunks().equals(
+        t.column("d").combine_chunks()
+    )
+
+
+def test_resident_struct_to_arrow_selection(tmp_path, interp_pallas):
+    """to_arrow(columns=[struct_name]) reassembles just that struct; dotted
+    children are also directly selectable."""
+    st = pa.struct([pa.field("a", pa.int64()), pa.field("b", pa.string())])
+    rows = [{"a": i, "b": f"s{i % 3}"} for i in range(300)]
+    t = pa.table(
+        {
+            "s": pa.array(rows, st),
+            "v": pa.array(np.arange(300, dtype=np.int64)),
+        },
+        schema=pa.schema(
+            [
+                pa.field("s", st, nullable=False),
+                pa.field("v", pa.int64(), nullable=False),
+            ]
+        ),
+    )
+    rt = _roundtrip(tmp_path, t, "structsel.str")
+    just_s = rt.to_arrow(columns=["s"])
+    assert just_s.schema.names == ["s"]
+    assert just_s.column("s").combine_chunks().equals(
+        t.column("s").combine_chunks()
+    )
+    just_child = rt.to_arrow(columns=["s.a"])
+    assert np.array_equal(
+        np.asarray(just_child.column("s.a")), np.arange(300)
+    )
